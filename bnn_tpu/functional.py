@@ -1,0 +1,161 @@
+"""Functional NN ops with torch-like geometry on channels-last layouts.
+
+TPU-first conventions used across the framework:
+
+- Activations are channels-LAST (``N, L, C`` / ``N, H, W, C``) so the channel
+  axis maps onto the TPU lane dimension (128 lanes) — this is both what XLA
+  prefers for convolutions and what the bitpacked inference engine needs (the
+  packed axis must be the innermost one).
+- Conv kernels are ``HWIO`` (``(W, I, O)`` for 1-D), linear kernels are
+  ``(in, out)`` — out-channel is always the LAST kernel axis.
+
+The reference delegates all of this to torch/cuDNN (bnn/layers/conv.py:37,92,
+bnn/layers/linear.py:25); here it is explicit ``lax`` so every op lowers to a
+single fused XLA HLO.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Size = Union[int, Sequence[int]]
+
+
+def _ntuple(x: Size, n: int) -> Tuple[int, ...]:
+    if isinstance(x, (tuple, list)):
+        if len(x) == 1:
+            return tuple(x) * n
+        assert len(x) == n, f"expected {n}-tuple, got {x}"
+        return tuple(x)
+    return (x,) * n
+
+
+def to_lax_padding(padding: Union[str, Size], nd: int):
+    """Normalize torch-style padding (int / tuple / 'same' / 'valid') to lax form."""
+    if isinstance(padding, str):
+        return padding.upper()
+    pads = _ntuple(padding, nd)
+    return [(p, p) for p in pads]
+
+
+def conv(
+    x: jax.Array,
+    kernel: jax.Array,
+    stride: Size = 1,
+    padding: Union[str, Size] = 0,
+    dilation: Size = 1,
+    groups: int = 1,
+    preferred_element_type=None,
+) -> jax.Array:
+    """N-D convolution, channels-last activations, ``(*spatial, I, O)`` kernel.
+
+    Equivalent of ``F.conv1d/conv2d`` (reference bnn/layers/conv.py:37,92) for
+    ``x`` of rank 3 (NLC) or 4 (NHWC).
+    """
+    nd = x.ndim - 2
+    dn = lax.conv_dimension_numbers(
+        x.shape,
+        kernel.shape,
+        ("NHWC", "HWIO", "NHWC") if nd == 2 else ("NWC", "WIO", "NWC"),
+    )
+    return lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=_ntuple(stride, nd),
+        padding=to_lax_padding(padding, nd),
+        rhs_dilation=_ntuple(dilation, nd),
+        dimension_numbers=dn,
+        feature_group_count=groups,
+        preferred_element_type=preferred_element_type,
+    )
+
+
+def linear(x: jax.Array, kernel: jax.Array, bias: jax.Array = None) -> jax.Array:
+    """``x @ kernel (+ bias)`` with kernel shape ``(in, out)``."""
+    y = jnp.matmul(x, kernel)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def _pool_dims(x_ndim: int, k: Size, s: Size):
+    nd = x_ndim - 2
+    window = (1,) + _ntuple(k, nd) + (1,)
+    strides = (1,) + _ntuple(s if s is not None else k, nd) + (1,)
+    return nd, window, strides
+
+
+def _pool_padding(nd: int, window, strides, spatial, padding: Size, ceil_mode: bool):
+    pads = _ntuple(padding, nd)
+    out = [(0, 0)]
+    for i in range(nd):
+        lo = hi = pads[i]
+        if ceil_mode:
+            size, w, st = spatial[i], window[i + 1], strides[i + 1]
+            out_ceil = math.ceil((size + 2 * pads[i] - w) / st) + 1
+            # torch: last window must start inside the (left-padded) input
+            if (out_ceil - 1) * st >= size + pads[i]:
+                out_ceil -= 1
+            needed = (out_ceil - 1) * st + w - size - pads[i]
+            hi = max(needed, pads[i])
+        out.append((lo, hi))
+    out.append((0, 0))
+    return out
+
+
+def max_pool(x: jax.Array, kernel_size: Size, stride: Size = None, padding: Size = 0,
+             ceil_mode: bool = False) -> jax.Array:
+    """Max pooling over channels-last input (torch ``nn.MaxPool1d/2d`` semantics)."""
+    nd, window, strides = _pool_dims(x.ndim, kernel_size, stride)
+    pad = _pool_padding(nd, window, strides, x.shape[1:-1], padding, ceil_mode)
+    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(x, neg_inf, lax.max, window, strides, pad)
+
+
+def avg_pool(x: jax.Array, kernel_size: Size, stride: Size = None, padding: Size = 0,
+             ceil_mode: bool = False, count_include_pad: bool = True) -> jax.Array:
+    """Average pooling with torch semantics incl. ``ceil_mode`` and
+    ``count_include_pad`` (needed for the BNN downsample path, reference
+    bnn/models/resnet.py:130)."""
+    nd, window, strides = _pool_dims(x.ndim, kernel_size, stride)
+    pad = _pool_padding(nd, window, strides, x.shape[1:-1], padding, ceil_mode)
+    summed = lax.reduce_window(x, 0.0, lax.add, window, strides, pad)
+    if count_include_pad and not ceil_mode:
+        return summed / math.prod(window)
+    # Count, per output position, how many window slots are "countable":
+    # real input elements always count; explicitly-padded slots count iff
+    # count_include_pad; the ceil_mode extension region never counts (torch
+    # semantics).
+    pads = _ntuple(padding, nd)
+    pad_value = 1.0 if count_include_pad else 0.0
+    ones = jnp.ones((1,) + x.shape[1:-1] + (1,), dtype=x.dtype)
+    ones = jnp.pad(
+        ones, [(0, 0)] + [(p, p) for p in pads] + [(0, 0)],
+        constant_values=pad_value,
+    )
+    # remaining (ceil-extension) padding relative to the explicitly-padded array
+    extra = [(0, 0)] + [
+        (pad[i + 1][0] - pads[i], pad[i + 1][1] - pads[i]) for i in range(nd)
+    ] + [(0, 0)]
+    counts = lax.reduce_window(ones, 0.0, lax.add, window, strides, extra)
+    return summed / counts
+
+
+def adaptive_avg_pool(x: jax.Array, output_size: Size = 1) -> jax.Array:
+    """Adaptive average pool; only uniform output sizes that divide the input
+    are supported (the model zoo only uses (1, 1), reference
+    bnn/models/resnet.py:100)."""
+    nd = x.ndim - 2
+    out = _ntuple(output_size, nd)
+    if all(o == 1 for o in out):
+        return jnp.mean(x, axis=tuple(range(1, 1 + nd)), keepdims=True)
+    ks = tuple(s // o for s, o in zip(x.shape[1:-1], out))
+    return avg_pool(x, ks, stride=ks)
+
+
+def flatten(x: jax.Array, start_axis: int = 1) -> jax.Array:
+    return x.reshape(x.shape[:start_axis] + (-1,))

@@ -1,0 +1,30 @@
+from .ste import sign, sign_ste, stochastic_sign_ste, tanh_surrogate_sign
+from .registry import register, resolve, registered_names
+from .binarizers import (
+    BinarizerBase,
+    Identity,
+    BasicInputBinarizer,
+    StochasticInputBinarizer,
+    AdvancedInputBinarizer,
+    XNORWeightBinarizer,
+    BasicScaleBinarizer,
+    XNORScaleBinarizer,
+)
+
+__all__ = [
+    "sign",
+    "sign_ste",
+    "stochastic_sign_ste",
+    "tanh_surrogate_sign",
+    "register",
+    "resolve",
+    "registered_names",
+    "BinarizerBase",
+    "Identity",
+    "BasicInputBinarizer",
+    "StochasticInputBinarizer",
+    "AdvancedInputBinarizer",
+    "XNORWeightBinarizer",
+    "BasicScaleBinarizer",
+    "XNORScaleBinarizer",
+]

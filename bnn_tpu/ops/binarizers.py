@@ -1,0 +1,213 @@
+"""The binarizer (quantizer) zoo as flax NNX modules.
+
+TPU-native re-implementation of the reference op library (bnn/ops.py:40-221).
+Binarizers are small NNX modules so that stateful ones (e.g. the learnable
+per-channel scale of :class:`BasicScaleBinarizer`) carry their parameters in
+the model pytree and train under ``jit`` like any other parameter.
+
+Layout note: this framework is channels-last (NHWC activations, HWIO /
+``(in, out)`` kernels), so "per-out-channel" always means the LAST axis —
+the reference's dim-0/dim-1 torch conventions (bnn/ops.py:116-127) map to
+``out_axis=-1`` / ``in_axis=-2`` here, uniformly for every kernel rank.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from .. import functional as F
+from .registry import register
+from .ste import sign_ste, stochastic_sign_ste, tanh_surrogate_sign
+
+__all__ = [
+    "BinarizerBase",
+    "Identity",
+    "BasicInputBinarizer",
+    "StochasticInputBinarizer",
+    "AdvancedInputBinarizer",
+    "XNORWeightBinarizer",
+    "BasicScaleBinarizer",
+    "XNORScaleBinarizer",
+]
+
+
+class _PartialWrapper:
+    """Chainable constructor factory (API parity with the reference's
+    ``with_args`` machinery, bnn/ops.py:10-35)."""
+
+    def __init__(self, p: partial):
+        self.p = p
+
+    def __call__(self, *args, **kwargs):
+        return self.p(*args, **kwargs)
+
+    def with_args(self, **kwargs):
+        return _PartialWrapper(partial(self.p.func, *self.p.args, **{**self.p.keywords, **kwargs}))
+
+    def __repr__(self):
+        return repr(self.p)
+
+
+class BinarizerBase(nnx.Module):
+    """Base class for all binarizers.
+
+    Subclasses implement ``__call__``. Input/weight binarizers take one
+    tensor; output (scale) binarizers take ``(layer_out, layer_in)`` — the
+    two-argument post-process contract of the reference (bnn/bconfig.py:7,
+    bnn/layers/conv.py:94-97) that XNOR-Net's spatial scaling needs.
+    """
+
+    @classmethod
+    def with_args(cls, **kwargs) -> _PartialWrapper:
+        return _PartialWrapper(partial(cls, **kwargs))
+
+
+@register(aliases=("nn.Identity", "identity"))
+class Identity(BinarizerBase):
+    """No-op binarizer, usable in any of the three binarizer slots.
+
+    Accepts one argument (pre/weight slots) or two (post slot), covering both
+    the reference's ``nn.Identity`` and its two-arg ``Identity``
+    (bnn/bconfig.py:6-8).
+    """
+
+    def __init__(self, module: nnx.Module = None):
+        pass
+
+    def __call__(self, x: jax.Array, *unused) -> jax.Array:
+        return x
+
+
+@register
+class BasicInputBinarizer(BinarizerBase):
+    """Element-wise deterministic sign with hardtanh-STE gradients.
+
+    Reference: bnn/ops.py:143-152.
+    """
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return sign_ste(x)
+
+
+@register
+class StochasticInputBinarizer(BinarizerBase):
+    """Stochastic sign binarizer (reference: bnn/ops.py:155-164).
+
+    Carries its own NNX RNG stream so each call draws fresh noise while
+    remaining jit-compatible.
+    """
+
+    def __init__(self, rngs: Optional[nnx.Rngs] = None, seed: int = 0):
+        self.rngs = rngs if rngs is not None else nnx.Rngs(seed)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return stochastic_sign_ste(x, self.rngs())
+
+
+@register
+class AdvancedInputBinarizer(BinarizerBase):
+    """Sign forward with a tanh(t*x) surrogate gradient.
+
+    Reference: bnn/ops.py:167-177 (implemented with the documented intent;
+    see :func:`bnn_tpu.ops.ste.tanh_surrogate_sign` for the deviation note).
+    """
+
+    def __init__(self, t: float = 5.0):
+        self.t = t
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return tanh_surrogate_sign(x, self.t)
+
+
+@register
+class XNORWeightBinarizer(BinarizerBase):
+    """XNOR-Net analytical weight binarizer: ``alpha * sign(W)``.
+
+    ``alpha`` is the per-out-channel mean L1 norm of the weights
+    (reference: bnn/ops.py:95-140). Works for any kernel rank >= 2 with the
+    framework's out-last layout: linear ``(in, out)``, conv1d ``(W, I, O)``,
+    conv2d ``(H, W, I, O)``.
+
+    Args:
+        compute_alpha: if True scale sign(W) by the analytic alpha.
+        center_weights: subtract the per-position mean over the in-channel
+            axis first (reference: bnn/ops.py:130-132 centers over dim 1,
+            which is the in-channel axis in torch's OIHW — ``in_axis=-2``
+            here).
+    """
+
+    def __init__(self, compute_alpha: bool = True, center_weights: bool = False):
+        self.compute_alpha = compute_alpha
+        self.center_weights = center_weights
+
+    def _compute_alpha(self, w: jax.Array) -> jax.Array:
+        if w.ndim < 2:
+            raise ValueError(f"Expected kernel rank >= 2, got {w.ndim}")
+        reduce_axes = tuple(range(w.ndim - 1))  # everything except out
+        return jnp.mean(jnp.abs(w), axis=reduce_axes, keepdims=True)
+
+    def __call__(self, w: jax.Array) -> jax.Array:
+        if self.center_weights:
+            w = w - jnp.mean(w, axis=-2, keepdims=True)
+        if self.compute_alpha:
+            alpha = self._compute_alpha(w)
+            return sign_ste(w) * alpha
+        return sign_ste(w)
+
+
+@register
+class BasicScaleBinarizer(BinarizerBase):
+    """Learnable per-out-channel scale applied to the layer output.
+
+    Reference: bnn/ops.py:180-205 (alpha Parameter of shape ``[1, C, 1...]``
+    in NCHW; here simply ``(C,)`` which broadcasts over the channels-last
+    output).
+    """
+
+    def __init__(self, module: nnx.Module, shape: Optional[Sequence[int]] = None):
+        if shape is None:
+            num_channels = getattr(module, "out_features", None)
+            if num_channels is None:
+                num_channels = getattr(module, "out_channels", None)
+            if num_channels is None:
+                raise ValueError(
+                    f"Unknown layer of type {type(module)} missing out_channels/out_features"
+                )
+            shape = (num_channels,)
+        self.alpha = nnx.Param(jnp.ones(tuple(shape), dtype=jnp.float32))
+
+    def __call__(self, layer_out: jax.Array, layer_in: jax.Array = None) -> jax.Array:
+        return layer_out * self.alpha[...]
+
+
+@register
+class XNORScaleBinarizer(BinarizerBase):
+    """Data-driven XNOR-Net spatial scaling ``K``.
+
+    ``K = (mean_c |x|) * k`` with ``k`` a uniform kernel of the layer's
+    receptive field, applied with the layer's stride/padding. The reference
+    implementation (bnn/ops.py:208-221) is broken as shipped (wrong super
+    call, ``torch.mean`` missing its input, kernel shape); this is the
+    corrected XNOR-Net formulation.
+    """
+
+    def __init__(self, module: nnx.Module):
+        self.kernel_size = tuple(module.kernel_size)
+        self.stride = module.stride
+        self.padding = module.padding
+
+    def __call__(self, layer_out: jax.Array, layer_in: jax.Array) -> jax.Array:
+        a = jnp.mean(jnp.abs(layer_in), axis=-1, keepdims=True)
+        # fixed uniform averaging kernel; a compile-time constant under jit
+        k = jnp.full(
+            self.kernel_size + (1, 1),
+            1.0 / math.prod(self.kernel_size),
+            dtype=layer_in.dtype,
+        )
+        scale = F.conv(a, k, stride=self.stride, padding=self.padding)
+        return layer_out * scale

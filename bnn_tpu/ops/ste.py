@@ -1,0 +1,89 @@
+"""Straight-through estimators (STE) as pure JAX functions.
+
+TPU-native re-design of the reference's ``torch.autograd.Function`` binarizers
+(reference: bnn/ops.py:51-92). Instead of imperative autograd Functions we use
+``jax.custom_vjp`` so the same primitives compose with ``jit``/``grad``/
+``vmap``/``shard_map`` and trace into a single XLA computation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "sign",
+    "sign_ste",
+    "stochastic_sign_ste",
+    "tanh_surrogate_sign",
+]
+
+
+def sign(x: jax.Array) -> jax.Array:
+    """Element-wise sign with sign(0) == 0 (matches ``torch.sign``)."""
+    return jnp.sign(x)
+
+
+@jax.custom_vjp
+def sign_ste(x: jax.Array) -> jax.Array:
+    """sign(x) forward; hardtanh straight-through gradient.
+
+    Backward passes the cotangent where ``|x| < 1`` (strictly) and zeroes it
+    elsewhere — exactly the mask of the reference implementation
+    (bnn/ops.py:68-73 zeroes where ``x >= 1`` or ``x <= -1``).
+    """
+    return jnp.sign(x)
+
+
+def _sign_ste_fwd(x):
+    return jnp.sign(x), x
+
+
+def _sign_ste_bwd(x, g):
+    mask = (x > -1.0) & (x < 1.0)
+    return (jnp.where(mask, g, jnp.zeros_like(g)),)
+
+
+sign_ste.defvjp(_sign_ste_fwd, _sign_ste_bwd)
+
+
+@jax.custom_vjp
+def _stochastic_sign(x: jax.Array, noise: jax.Array) -> jax.Array:
+    # round((x+1)/2 + U[-0.5, 0.5]) clipped to {0,1}, mapped to {-1,+1}
+    # (reference: bnn/ops.py:88-92).
+    p = jnp.clip((x + 1.0) * 0.5 + noise, 0.0, 1.0)
+    return jnp.round(p) * 2.0 - 1.0
+
+
+def _stochastic_sign_fwd(x, noise):
+    return _stochastic_sign(x, noise), x
+
+
+def _stochastic_sign_bwd(x, g):
+    mask = (x > -1.0) & (x < 1.0)
+    return jnp.where(mask, g, jnp.zeros_like(g)), None
+
+
+_stochastic_sign.defvjp(_stochastic_sign_fwd, _stochastic_sign_bwd)
+
+
+def stochastic_sign_ste(x: jax.Array, key: jax.Array) -> jax.Array:
+    """Stochastic binarization: P(+1) grows with x; hardtanh STE gradient.
+
+    ``key`` is a JAX PRNG key (replaces the reference's implicit
+    ``torch.rand_like``, bnn/ops.py:91).
+    """
+    noise = jax.random.uniform(key, x.shape, x.dtype, -0.5, 0.5)
+    return _stochastic_sign(x, noise)
+
+
+def tanh_surrogate_sign(x: jax.Array, t: float = 5.0) -> jax.Array:
+    """sign(x) forward with d/dx tanh(t*x) surrogate gradient.
+
+    Intended semantics of the reference's ``AdvancedInputBinarizer``
+    (bnn/ops.py:167-177). NOTE: the reference's implementation re-binds ``x``
+    under ``torch.no_grad`` and therefore accidentally detaches the output
+    from the graph entirely; we implement the documented intent (gradients
+    flow through the tanh surrogate) rather than replicating that bug.
+    """
+    y = jnp.tanh(x * t)
+    return y + jax.lax.stop_gradient(jnp.sign(y) - y)

@@ -1,0 +1,191 @@
+"""Tests for the model transformation pass.
+
+Mirrors the reference's test/test_binarize.py (single-layer swap, whole-net
+swap with per-layer fp32 override, state round-trip) and adds the ignore-rule
+tests the reference lacks (SURVEY.md §4 gaps — these would have caught the
+swapped `_first_`/`_last_` mapping, reference bnn/binarize.py:47-50).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from bnn_tpu import BConfig, nn, named_modules, prepare_binary_model
+from bnn_tpu import layers as blayers
+from bnn_tpu.ops import (
+    BasicInputBinarizer,
+    BasicScaleBinarizer,
+    Identity,
+    XNORWeightBinarizer,
+)
+
+BCONFIG = BConfig(
+    activation_pre_process=BasicInputBinarizer,
+    activation_post_process=BasicScaleBinarizer,
+    weight_pre_process=XNORWeightBinarizer,
+)
+
+
+def make_net(seed: int = 0) -> nn.Sequential:
+    rngs = nnx.Rngs(seed)
+    return nn.Sequential(
+        nn.Conv2d(3, 16, 1, rngs=rngs),
+        nn.BatchNorm2d(16, rngs=rngs),
+        nn.ReLU(),
+        nn.Conv2d(16, 16, 1, rngs=rngs),
+        nn.BatchNorm2d(16, rngs=rngs),
+        nn.ReLU(),
+        nn.AdaptiveAvgPool2d(1),
+        nn.Flatten(),
+        nn.Linear(16, 3, rngs=rngs),
+    )
+
+
+class TestNamedModules:
+    def test_order_and_paths(self):
+        net = make_net()
+        names = [n for n, _ in named_modules(net)]
+        assert names[0] == ""
+        assert "0" in names and "8" in names
+        # depth-first, root-first like torch
+        assert names.index("0") < names.index("1")
+
+    def test_nested_paths(self):
+        class Block(nnx.Module):
+            def __init__(self, rngs):
+                self.conv1 = nn.Conv2d(3, 3, 3, rngs=rngs)
+                self.downsample = nn.Sequential(
+                    nn.AvgPool2d(2), nn.Conv2d(3, 3, 1, rngs=rngs)
+                )
+
+        class Model(nnx.Module):
+            def __init__(self, rngs):
+                self.layer1 = nn.Sequential(Block(rngs), Block(rngs))
+
+        m = Model(nnx.Rngs(0))
+        names = {n for n, _ in named_modules(m)}
+        assert "layer1.0.conv1" in names
+        assert "layer1.1.downsample.1" in names
+
+
+class TestPrepareBinaryModel:
+    def test_single_layer_swap_returns_binary_type(self):
+        layer = nn.Linear(4, 4, rngs=nnx.Rngs(0))
+        out = prepare_binary_model(layer, bconfig=BCONFIG)
+        assert isinstance(out, blayers.Linear)
+
+    def test_whole_net_swap(self):
+        net = prepare_binary_model(make_net(), bconfig=BCONFIG)
+        assert isinstance(net[0], blayers.Conv2d)
+        assert isinstance(net[3], blayers.Conv2d)
+        assert isinstance(net[8], blayers.Linear)
+        # non-swappable layers untouched
+        assert isinstance(net[1], nn.BatchNorm2d)
+
+    def test_custom_config_override_keeps_layer_fp32(self):
+        # reference cifar10.py convention: swap but with all-Identity config
+        net = prepare_binary_model(
+            make_net(), bconfig=BCONFIG,
+            custom_config_layers_name={"0": BConfig(), "8": BConfig()},
+        )
+        num_identity = sum(
+            isinstance(m, (blayers.Conv2d, blayers.Linear))
+            and isinstance(m.weight_pre_process, Identity)
+            for _, m in named_modules(net)
+        )
+        assert num_identity == 2
+        assert isinstance(net[0], blayers.Conv2d)  # still swapped
+        assert isinstance(net[0].activation_pre_process, Identity)
+        assert isinstance(net[3].activation_pre_process, BasicInputBinarizer)
+
+    def test_ignore_literal(self):
+        net = prepare_binary_model(make_net(), bconfig=BCONFIG,
+                                   ignore_layers_name=["3"])
+        assert isinstance(net[0], blayers.Conv2d)
+        assert type(net[3]) is nn.Conv2d
+
+    def test_ignore_first_last(self):
+        net = prepare_binary_model(make_net(), bconfig=BCONFIG,
+                                   ignore_layers_name=["_first_", "_last_"])
+        assert type(net[0]) is nn.Conv2d  # first conv kept fp32
+        assert type(net[8]) is nn.Linear  # last linear kept fp32
+        assert isinstance(net[3], blayers.Conv2d)
+
+    def test_ignore_first_only(self):
+        # would have caught the reference's swapped special-word dict
+        net = prepare_binary_model(make_net(), bconfig=BCONFIG,
+                                   ignore_layers_name=["_first_"])
+        assert type(net[0]) is nn.Conv2d
+        assert isinstance(net[8], blayers.Linear)
+
+    def test_ignore_last_only(self):
+        net = prepare_binary_model(make_net(), bconfig=BCONFIG,
+                                   ignore_layers_name=["_last_"])
+        assert isinstance(net[0], blayers.Conv2d)
+        assert type(net[8]) is nn.Linear
+
+    def test_ignore_regex(self):
+        class Model(nnx.Module):
+            def __init__(self, rngs):
+                self.layer1 = nn.Sequential(nn.Conv2d(3, 3, 1, rngs=rngs))
+                self.layer2 = nn.Sequential(nn.Conv2d(3, 3, 1, rngs=rngs))
+                self.fc = nn.Linear(3, 3, rngs=rngs)
+
+        m = prepare_binary_model(Model(nnx.Rngs(0)), bconfig=BCONFIG,
+                                 ignore_layers_name=["$layer2.*$"])
+        assert isinstance(m.layer1[0], blayers.Conv2d)
+        assert type(m.layer2[0]) is nn.Conv2d
+        assert isinstance(m.fc, blayers.Linear)
+
+    def test_weights_shared_with_float_model(self):
+        net = make_net()
+        w_ref = net[0].kernel
+        bnet = prepare_binary_model(net, bconfig=BCONFIG)
+        assert bnet[0].kernel is w_ref
+
+    def test_reconversion_of_binary_model(self):
+        # identity self-mapping: a binary model can be re-converted
+        net = prepare_binary_model(make_net(), bconfig=BCONFIG)
+        w_ref = net[0].kernel
+        net2 = prepare_binary_model(net, bconfig=BCONFIG)
+        assert isinstance(net2[0], blayers.Conv2d)
+        assert net2[0].kernel is w_ref
+
+
+class TestStateRoundTrip:
+    def test_state_dict_round_trip(self):
+        """Save a binarized model's state, rebuild fresh, load, outputs equal
+        (reference: test/test_binarize.py:95-110)."""
+        net = prepare_binary_model(make_net(seed=0), bconfig=BCONFIG)
+        net.eval()
+        # perturb a binarizer param so the round-trip is non-trivial
+        net[3].activation_post_process.alpha[...] = jnp.linspace(0.5, 2.0, 16)
+        x = jax.random.normal(jax.random.key(42), (2, 8, 8, 3))
+        expected = net(x)
+
+        state = nnx.state(net)
+        fresh = prepare_binary_model(make_net(seed=123), bconfig=BCONFIG)
+        fresh.eval()
+        nnx.update(fresh, state)
+        np.testing.assert_array_equal(fresh(x), expected)
+
+    def test_forward_under_jit(self):
+        net = prepare_binary_model(make_net(), bconfig=BCONFIG)
+        net.eval()
+        x = jax.random.normal(jax.random.key(0), (2, 8, 8, 3))
+        eager = net(x)
+        jitted = nnx.jit(lambda m, v: m(v))(net, x)
+        np.testing.assert_allclose(jitted, eager, atol=1e-6)
+
+    def test_gradients_flow_through_binarized_net(self):
+        net = prepare_binary_model(make_net(), bconfig=BCONFIG)
+        net.train()
+
+        def loss_fn(model, v):
+            return jnp.mean(model(v) ** 2)
+
+        x = jax.random.normal(jax.random.key(1), (2, 8, 8, 3)) * 0.1
+        grads = nnx.grad(loss_fn)(net, x)
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert leaves, "no gradient leaves"
+        assert any(float(jnp.sum(jnp.abs(g))) > 0 for g in leaves)

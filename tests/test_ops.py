@@ -1,0 +1,186 @@
+"""Unit tests for STE primitives and the binarizer zoo.
+
+Covers the reference test surface (test/test_binarize.py:118-126) plus the
+gradient/STE tests the reference lacks (SURVEY.md §4 gaps).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+import bnn_tpu
+from bnn_tpu import nn
+from bnn_tpu.ops import (
+    AdvancedInputBinarizer,
+    BasicInputBinarizer,
+    BasicScaleBinarizer,
+    Identity,
+    StochasticInputBinarizer,
+    XNORScaleBinarizer,
+    XNORWeightBinarizer,
+    resolve,
+    sign_ste,
+    stochastic_sign_ste,
+    tanh_surrogate_sign,
+)
+
+
+class TestSignSTE:
+    def test_forward_matches_sign(self):
+        x = jnp.array([-2.0, -0.5, 0.0, 0.3, 1.7])
+        np.testing.assert_array_equal(sign_ste(x), jnp.sign(x))
+
+    def test_grad_hardtanh_mask(self):
+        # reference zeroes grads where |x| >= 1 (bnn/ops.py:68-73)
+        x = jnp.array([-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0])
+        g = jax.grad(lambda v: jnp.sum(sign_ste(v)))(x)
+        np.testing.assert_array_equal(g, jnp.array([0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0]))
+
+    def test_grad_scales_cotangent(self):
+        x = jnp.array([0.5, -0.25])
+        g = jax.grad(lambda v: jnp.sum(sign_ste(v) * jnp.array([3.0, 7.0])))(x)
+        np.testing.assert_allclose(g, [3.0, 7.0])
+
+
+class TestStochasticSign:
+    def test_outputs_are_binary(self):
+        x = jax.random.normal(jax.random.key(0), (1000,))
+        y = stochastic_sign_ste(x, jax.random.key(1))
+        assert set(np.unique(np.asarray(y))) <= {-1.0, 1.0}
+
+    def test_saturated_inputs_deterministic(self):
+        x = jnp.array([2.0, -2.0])
+        for i in range(5):
+            y = stochastic_sign_ste(x, jax.random.key(i))
+            np.testing.assert_array_equal(y, jnp.array([1.0, -1.0]))
+
+    def test_probability_tracks_input(self):
+        # P(+1) = (x+1)/2 for x in (-1, 1)
+        x = jnp.full((20000,), 0.5)
+        y = stochastic_sign_ste(x, jax.random.key(0))
+        p = float(jnp.mean(y == 1.0))
+        assert abs(p - 0.75) < 0.02
+
+    def test_grad_mask(self):
+        x = jnp.array([-2.0, 0.5, 2.0])
+        g = jax.grad(lambda v: jnp.sum(stochastic_sign_ste(v, jax.random.key(0))))(x)
+        np.testing.assert_array_equal(g, jnp.array([0.0, 1.0, 0.0]))
+
+
+class TestTanhSurrogate:
+    def test_forward_is_sign(self):
+        x = jnp.array([-3.0, -0.1, 0.2, 5.0])
+        np.testing.assert_array_equal(tanh_surrogate_sign(x), jnp.sign(x))
+
+    def test_grad_is_tanh_derivative(self):
+        x = jnp.array([-0.5, 0.0, 0.3])
+        t = 5.0
+        g = jax.grad(lambda v: jnp.sum(tanh_surrogate_sign(v, t)))(x)
+        expected = t * (1.0 - jnp.tanh(x * t) ** 2)
+        np.testing.assert_allclose(g, expected, rtol=1e-5)
+
+
+class TestXNORWeightBinarizer:
+    def test_alpha_2d(self):
+        w = jnp.array([[1.0, -2.0], [3.0, -4.0], [0.5, 0.5]])  # (in=3, out=2)
+        out = XNORWeightBinarizer()(w)
+        alpha = jnp.mean(jnp.abs(w), axis=0)  # per-out-channel
+        np.testing.assert_allclose(out, jnp.sign(w) * alpha, rtol=1e-6)
+
+    def test_alpha_4d(self):
+        w = jax.random.normal(jax.random.key(0), (3, 3, 4, 8))  # HWIO
+        out = XNORWeightBinarizer()(w)
+        alpha = jnp.mean(jnp.abs(w), axis=(0, 1, 2), keepdims=True)
+        np.testing.assert_allclose(out, jnp.sign(w) * alpha, rtol=1e-5)
+
+    def test_no_alpha(self):
+        w = jax.random.normal(jax.random.key(1), (5, 7))
+        out = XNORWeightBinarizer(compute_alpha=False)(w)
+        np.testing.assert_array_equal(out, jnp.sign(w))
+
+    def test_center_weights(self):
+        w = jax.random.normal(jax.random.key(2), (3, 3, 4, 8)) + 1.0
+        centered = w - jnp.mean(w, axis=-2, keepdims=True)
+        out = XNORWeightBinarizer(compute_alpha=False, center_weights=True)(w)
+        np.testing.assert_allclose(out, jnp.sign(centered), rtol=1e-6)
+
+    def test_grad_flows_through_ste(self):
+        w = jnp.array([[0.5, -0.5]])
+        g = jax.grad(lambda v: jnp.sum(XNORWeightBinarizer(compute_alpha=False)(v)))(w)
+        np.testing.assert_array_equal(g, jnp.ones_like(w))
+
+
+class TestScaleBinarizers:
+    def test_basic_scale_linear(self):
+        lin = nn.Linear(4, 6, rngs=nnx.Rngs(0))
+        scale = BasicScaleBinarizer(lin)
+        assert scale.alpha[...].shape == (6,)
+        out = jnp.ones((2, 6))
+        np.testing.assert_array_equal(scale(out, jnp.ones((2, 4))), out)
+        scale.alpha[...] = jnp.arange(6.0)
+        np.testing.assert_allclose(scale(out, None), jnp.broadcast_to(jnp.arange(6.0), (2, 6)))
+
+    def test_basic_scale_conv(self):
+        conv = nn.Conv2d(3, 8, 3, rngs=nnx.Rngs(0))
+        scale = BasicScaleBinarizer(conv)
+        assert scale.alpha[...].shape == (8,)
+
+    def test_basic_scale_custom_shape(self):
+        lin = nn.Linear(4, 6, rngs=nnx.Rngs(0))
+        scale = BasicScaleBinarizer(lin, shape=(1, 6))
+        assert scale.alpha[...].shape == (1, 6)
+
+    def test_basic_scale_is_trainable(self):
+        lin = nn.Linear(4, 6, rngs=nnx.Rngs(0))
+        scale = BasicScaleBinarizer(lin)
+        params = nnx.state(scale, nnx.Param)
+        leaves = jax.tree_util.tree_leaves(params)
+        assert len(leaves) == 1 and leaves[0].shape == (6,)
+
+    def test_xnor_scale_matches_manual(self):
+        conv = nn.Conv2d(3, 5, 3, stride=1, padding=1, rngs=nnx.Rngs(0))
+        scale = XNORScaleBinarizer(conv)
+        x = jax.random.normal(jax.random.key(3), (2, 8, 8, 3))
+        layer_out = jnp.ones((2, 8, 8, 5))
+        result = scale(layer_out, x)
+        a = jnp.mean(jnp.abs(x), axis=-1, keepdims=True)
+        k = jnp.full((3, 3, 1, 1), 1.0 / 9.0)
+        expected = layer_out * bnn_tpu.functional.conv(a, k, stride=1, padding=1)
+        np.testing.assert_allclose(result, expected, rtol=1e-5)
+
+
+class TestIdentityAndRegistry:
+    def test_identity_one_and_two_arg(self):
+        ident = Identity()
+        x = jnp.ones((3,))
+        np.testing.assert_array_equal(ident(x), x)
+        np.testing.assert_array_equal(ident(x, jnp.zeros((3,))), x)
+
+    def test_registry_resolution(self):
+        assert resolve("BasicInputBinarizer") is BasicInputBinarizer
+        assert resolve("XNORWeightBinarizer") is XNORWeightBinarizer
+        assert resolve("Identity") is Identity
+        assert resolve("nn.Identity") is Identity
+
+    def test_registry_unknown_raises(self):
+        with pytest.raises(KeyError, match="Unknown binarizer"):
+            resolve("NotARealBinarizer")
+
+    def test_with_args(self):
+        factory = XNORWeightBinarizer.with_args(compute_alpha=False)
+        b1, b2 = factory(), factory()
+        assert b1 is not b2
+        assert b1.compute_alpha is False
+        chained = factory.with_args(center_weights=True)()
+        assert chained.compute_alpha is False and chained.center_weights is True
+
+    def test_stochastic_binarizer_module(self):
+        b = StochasticInputBinarizer()
+        y = b(jax.random.normal(jax.random.key(0), (100,)))
+        assert set(np.unique(np.asarray(y))) <= {-1.0, 1.0}
+
+    def test_advanced_binarizer_module(self):
+        b = AdvancedInputBinarizer(t=3.0)
+        x = jnp.array([-0.5, 0.5])
+        np.testing.assert_array_equal(b(x), jnp.sign(x))
