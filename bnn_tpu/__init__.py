@@ -19,6 +19,7 @@ from .binarize import (
     swap_modules_by_name,
     prepare_binary_model,
 )
+from .engine import BinaryChef, RecipeError
 from . import functional
 from . import nn
 from . import ops
@@ -32,6 +33,8 @@ __all__ = [
     "get_modules_to_binarize",
     "swap_modules_by_name",
     "prepare_binary_model",
+    "BinaryChef",
+    "RecipeError",
     "functional",
     "nn",
     "ops",

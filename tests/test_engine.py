@@ -1,0 +1,149 @@
+"""Recipe-engine tests (mirrors reference test/test_engine.py, plus recipe
+validation tests the reference lacks)."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from bnn_tpu import nn
+from bnn_tpu import layers as blayers
+from bnn_tpu.engine import BinaryChef, RecipeError
+from bnn_tpu.ops import BasicInputBinarizer, Identity, XNORWeightBinarizer, register
+
+ASSET = os.path.join(os.path.dirname(__file__), "assets", "test.yaml")
+
+
+def make_net():
+    rngs = nnx.Rngs(0)
+    return nn.Sequential(
+        nn.Conv2d(3, 16, 1, rngs=rngs),
+        nn.BatchNorm2d(16, rngs=rngs),
+        nn.ReLU(),
+        nn.Conv2d(16, 16, 1, rngs=rngs),
+        nn.BatchNorm2d(16, rngs=rngs),
+        nn.ReLU(),
+        nn.AdaptiveAvgPool2d(1),
+        nn.Flatten(),
+        nn.Linear(16, 3, rngs=rngs),
+    )
+
+
+class TestBinaryChef:
+    def test_step_length(self):
+        chef = BinaryChef(ASSET)
+        assert len(chef) == 3
+        assert chef.get_num_steps() == 3
+
+    def test_engine_progression(self):
+        # reference: test/test_engine.py:44-66
+        model = make_net()
+        chef = BinaryChef(ASSET)
+
+        # Step 1: activations binarized, weights Identity; first/last ignored
+        model = chef.next(model)
+        assert type(model[0]) is nn.Conv2d  # _first_ ignored
+        assert type(model[8]) is nn.Linear  # _last_ ignored
+        assert isinstance(model[3], blayers.Conv2d)
+        assert isinstance(model[3].weight_pre_process, Identity)
+        assert isinstance(model[3].activation_pre_process, BasicInputBinarizer)
+
+        # Step 2: weights now XNOR-binarized
+        model = chef.next(model)
+        assert isinstance(model[3].weight_pre_process, XNORWeightBinarizer)
+        assert model[3].weight_pre_process.center_weights is True
+        w_alpha = model[3].activation_post_process.alpha
+        w_alpha[...] = jnp.linspace(0.1, 2.0, 16)  # pretend training moved it
+
+        # Step 3: update=True carries the learnable alpha across the re-wrap
+        model = chef.next(model, update=True)
+        assert isinstance(model[3].weight_pre_process, XNORWeightBinarizer)
+        assert model[3].weight_pre_process.center_weights is False
+        np.testing.assert_array_equal(
+            model[3].activation_post_process.alpha[...], jnp.linspace(0.1, 2.0, 16)
+        )
+        # step 3 has no ignore list: first/last get binarized now
+        assert isinstance(model[0], blayers.Conv2d)
+        assert isinstance(model[8], blayers.Linear)
+
+    def test_weights_survive_across_steps(self):
+        model = make_net()
+        w = model[3].kernel
+        chef = BinaryChef(ASSET)
+        model = chef.next(model)
+        model = chef.next(model)
+        assert model[3].kernel is w
+
+    def test_user_module_registration(self):
+        class MyCustomBinarizer(BasicInputBinarizer):
+            pass
+
+        recipe = {
+            "step0": {
+                "pre_activation": {"name": "MyCustomBinarizer"},
+                "post_activation": {"name": "Identity"},
+                "weight": {"name": "Identity"},
+            }
+        }
+        chef = BinaryChef(recipe, user_modules=[MyCustomBinarizer])
+        model = chef.next(make_net())
+        assert isinstance(model[3].activation_pre_process, MyCustomBinarizer)
+
+    def test_case_insensitive_keys(self):
+        # the reference crashes on a mis-cased key (xnor-net.yaml:6 'NAME:');
+        # we normalize instead
+        recipe = {
+            "step0": {
+                "pre_activation": {"NAME": "BasicInputBinarizer"},
+                "post_activation": {"name": "Identity"},
+                "weight": {"name": "Identity"},
+            }
+        }
+        chef = BinaryChef(recipe)
+        assert len(chef) == 1
+
+
+class TestRecipeValidation:
+    def test_missing_slot(self):
+        with pytest.raises(RecipeError, match="missing required section 'weight'"):
+            BinaryChef({"step0": {"pre_activation": {"name": "Identity"},
+                                  "post_activation": {"name": "Identity"}}})
+
+    def test_missing_name(self):
+        with pytest.raises(RecipeError, match="missing required key 'name'"):
+            BinaryChef({"step0": {"pre_activation": {"args": {}},
+                                  "post_activation": {"name": "Identity"},
+                                  "weight": {"name": "Identity"}}})
+
+    def test_unknown_binarizer(self):
+        with pytest.raises(KeyError, match="Unknown binarizer"):
+            BinaryChef({"step0": {"pre_activation": {"name": "NopeBinarizer"},
+                                  "post_activation": {"name": "Identity"},
+                                  "weight": {"name": "Identity"}}})
+
+    def test_unknown_step_key(self):
+        with pytest.raises(RecipeError, match="unknown keys"):
+            BinaryChef({"step0": {"pre_activation": {"name": "Identity"},
+                                  "post_activation": {"name": "Identity"},
+                                  "weight": {"name": "Identity"},
+                                  "ignore_layers": []}})
+
+    def test_empty_recipe(self):
+        with pytest.raises(RecipeError, match="non-empty"):
+            BinaryChef({})
+
+
+class TestShippedRecipes:
+    @pytest.mark.parametrize("recipe", [
+        "examples/recipes/xnor-net.yaml",
+        "examples/recipes/xnor-net-plus.yaml",
+        "examples/recipes/imagenet-baseline.yaml",
+    ])
+    def test_recipe_parses_and_applies(self, recipe):
+        path = os.path.join(os.path.dirname(__file__), "..", recipe)
+        chef = BinaryChef(path)
+        model = make_net()
+        for _ in range(len(chef)):
+            model = chef.next(model)
+        assert isinstance(model[3], blayers.Conv2d)
