@@ -1,0 +1,324 @@
+"""Deployment pass: QAT binary model -> bitpacked inference model.
+
+The runtime the reference explicitly lacks (README.md:22). Walks a binarized
+model and replaces eligible binary layers with deployed equivalents that:
+
+- store weights as packed int32 sign lanes (32x smaller than fp32 in HBM);
+- fold the XNOR-Net weight alpha, the learnable output scale and the bias
+  into a per-out-channel ``(scale, add)`` epilogue;
+- execute via the fused Pallas :func:`~bnn_tpu.kernels.gemm.binary_gemm`
+  (sign + unpack + MXU matmul + dequant in one kernel). Convolutions lower
+  to patch extraction (im2col) + the same GEMM, so every binary layer's hot
+  loop is the one kernel.
+
+Eligibility: ``activation_pre_process`` must be a deterministic sign
+(BasicInputBinarizer / AdvancedInputBinarizer forward), ``weight_pre_process``
+an XNORWeightBinarizer, and the post-process one of BasicScaleBinarizer /
+XNORScaleBinarizer / Identity. Anything else (stochastic binarizers, grouped
+convs, float layers) is left untouched — the deployed model is always a
+drop-in for the QAT model.
+
+Numerics: identical to the QAT fake path computed in f32 (verified to 1e-7
+on CPU), except ``sign(0) == +1`` (QAT's default keeps torch's
+``sign(0) == 0`` — train with ``BasicInputBinarizer(zero_to_one=True)`` for
+bit-identical QAT/deploy, important after ReLU). On TPU at default matmul
+precision the QAT path itself truncates ``alpha * sign(W)`` to bf16
+(~3e-3/layer); the deployed path does the exact ±1 integer dot and applies
+``alpha`` in f32 afterwards, so it is strictly MORE accurate than the QAT
+baseline it replaces.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+from jax import lax
+
+from .. import functional as F
+from .. import layers as blayers
+from ..binarize import named_modules, set_module_by_name
+from ..kernels.gemm import binary_gemm, binary_gemm_reference
+from ..kernels.packing import pack_bits, unpack_bits
+from ..ops.binarizers import (
+    AdvancedInputBinarizer,
+    BasicInputBinarizer,
+    BasicScaleBinarizer,
+    Identity,
+    XNORScaleBinarizer,
+    XNORWeightBinarizer,
+)
+
+__all__ = ["deploy", "DeployedLinear", "DeployedConv", "packed_weight_bytes",
+           "model_weight_bytes"]
+
+
+def _fold_epilogue(layer) -> tuple:
+    """Precompute packed weights and the per-out-channel (scale, add).
+
+    QAT forward: ``post(op(sign(x), wpre(W)) + bias, x)`` with
+    ``wpre(W) = alpha_w * sign(W')``; folding gives
+    ``out = [sign(x) @ sign(W')] * (alpha_w * alpha_post) + bias * alpha_post``
+    (then XNORScale's spatial K applied outside the GEMM if present).
+    """
+    wb = layer.weight_pre_process
+    w = layer.kernel[...]
+    if wb.center_weights:
+        w = w - jnp.mean(w, axis=-2, keepdims=True)
+    out_ch = w.shape[-1]
+    if wb.compute_alpha:
+        alpha_w = jnp.mean(jnp.abs(w), axis=tuple(range(w.ndim - 1)))  # (O,)
+    else:
+        alpha_w = jnp.ones((out_ch,), jnp.float32)
+
+    post = layer.activation_post_process
+    if isinstance(post, BasicScaleBinarizer):
+        alpha_post = post.alpha[...].reshape(-1)
+        assert alpha_post.shape == (out_ch,), (
+            "custom-shaped BasicScaleBinarizer alpha cannot be folded; "
+            f"got {alpha_post.shape}"
+        )
+    else:
+        alpha_post = jnp.ones((out_ch,), jnp.float32)
+
+    scale = (alpha_w * alpha_post).astype(jnp.float32)
+    bias = layer.bias[...] if layer.bias is not None else None
+    add = (bias * alpha_post).astype(jnp.float32) if bias is not None else None
+
+    # pack the sign bits of the (possibly centered) kernel, reduction axis
+    # flattened to the second-to-last position
+    w2d = w.reshape(-1, out_ch)  # (K, O) with K = prod(spatial) * in_ch
+    packed = pack_bits(w2d, axis=-2)
+    return packed, w2d.shape[0], scale, add
+
+
+def _spatial_post(post):
+    return post if isinstance(post, XNORScaleBinarizer) else None
+
+
+class DeployedLinear(nnx.Module):
+    """Bitpacked dense layer executing via the fused binary GEMM."""
+
+    def __init__(self, layer: blayers.Linear, *, use_pallas: bool = True,
+                 interpret: bool = False):
+        self.in_features = layer.in_features
+        self.out_features = layer.out_features
+        packed, k, scale, add = _fold_epilogue(layer)
+        self.w_packed = nnx.Variable(packed)
+        self.scale = nnx.Variable(scale)
+        self.add = nnx.Variable(add if add is not None
+                                else jnp.zeros_like(scale))
+        self.k = k
+        self.use_pallas = use_pallas
+        self.interpret = interpret
+        self.spatial_post = _spatial_post(layer.activation_post_process)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        lead = x.shape[:-1]
+        x2d = x.reshape(-1, x.shape[-1])
+        if self.use_pallas:
+            y = binary_gemm(x2d, self.w_packed[...], self.k,
+                            self.scale[...], self.add[...],
+                            interpret=self.interpret)
+        else:
+            y = binary_gemm_reference(x2d, self.w_packed[...], self.k,
+                                      self.scale[...], self.add[...])
+        y = y.reshape(lead + (self.out_features,))
+        if self.spatial_post is not None:
+            y = self.spatial_post(y, x)
+        return y
+
+
+class DeployedConv(nnx.Module):
+    """Bitpacked convolution.
+
+    Two execution modes over the same packed storage (auto-selected):
+
+    - ``gemm``: 1x1/stride-1 convs collapse to the fused Pallas binary GEMM
+      (no patch materialization needed);
+    - ``conv``: KxK convs unpack the packed weights to ``+/-1`` bf16 *in
+      graph* (a few VPU ops on a tensor that is tiny next to the activations)
+      and run XLA's MXU conv with the dequant epilogue fused by XLA. This
+      avoids the O(k^2) im2col activation blow-up that makes patch-GEMM
+      uncompetitive at ImageNet spatial sizes, while keeping weights packed
+      in HBM/checkpoints.
+
+    ``mode='im2col'`` forces the patch+GEMM path (useful for small feature
+    maps). The packed weight K-ordering matches
+    ``lax.conv_general_dilated_patches`` (channel-major, filter positions
+    row-major).
+    """
+
+    def __init__(self, layer, *, use_pallas: bool = True, interpret: bool = False,
+                 mode: str = "auto"):
+        self.mode = mode
+        self.in_channels = layer.in_channels
+        self.out_channels = layer.out_channels
+        self.kernel_size = layer.kernel_size
+        self.stride = layer.stride
+        self.padding = layer.padding
+        self.dilation = layer.dilation
+        nd = len(self.kernel_size)
+
+        # conv_general_dilated_patches emits features ordered (C, *positions):
+        # transpose the (*spatial, I, O) kernel to (I, *spatial, O) before
+        # packing so the GEMM K-axis matches the patch layout. Centering uses
+        # the ORIGINAL in-channel axis (reference bnn/ops.py:130-132).
+        wb = layer.weight_pre_process
+        w = layer.kernel[...]
+        w_eff = w - jnp.mean(w, axis=-2, keepdims=True) if wb.center_weights else w
+        out_ch = w.shape[-1]
+        if wb.compute_alpha:
+            alpha_w = jnp.mean(jnp.abs(w_eff), axis=tuple(range(w.ndim - 1)))
+        else:
+            alpha_w = jnp.ones((out_ch,), jnp.float32)
+        post = layer.activation_post_process
+        if isinstance(post, BasicScaleBinarizer):
+            alpha_post = post.alpha[...].reshape(-1)
+        else:
+            alpha_post = jnp.ones((out_ch,), jnp.float32)
+        scale = (alpha_w * alpha_post).astype(jnp.float32)
+        bias = layer.bias[...] if layer.bias is not None else None
+        add = ((bias * alpha_post).astype(jnp.float32) if bias is not None
+               else jnp.zeros_like(scale))
+
+        w2d = jnp.moveaxis(w_eff, -2, 0).reshape(-1, out_ch)  # patch order
+        self.w_packed = nnx.Variable(pack_bits(w2d, axis=-2))
+        self.k = w2d.shape[0]
+        self.scale = nnx.Variable(scale)
+        self.add = nnx.Variable(add)
+        self.use_pallas = use_pallas
+        self.interpret = interpret
+        self.spatial_post = _spatial_post(layer.activation_post_process)
+
+    def _is_pointwise(self) -> bool:
+        nd = len(self.kernel_size)
+        if any(k != 1 for k in self.kernel_size):
+            return False
+        if F._ntuple(self.stride, nd) != (1,) * nd:
+            return False
+        if F._ntuple(self.dilation, nd) != (1,) * nd:
+            return False
+        if isinstance(self.padding, str):
+            return True  # SAME == VALID for a 1x1 stride-1 conv
+        return all(p == 0 for p in F._ntuple(self.padding, nd))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        mode = self.mode
+        if mode == "auto":
+            mode = "gemm" if self._is_pointwise() else "conv"
+        if mode == "gemm" or mode == "im2col":
+            return self._call_im2col(x)
+        return self._call_conv(x)
+
+    def _call_conv(self, x: jax.Array) -> jax.Array:
+        # unpack packed weights to +/-1 bf16 in-graph; tiny vs activations
+        nd = len(self.kernel_size)
+        w2d = unpack_bits(self.w_packed[...], self.k, axis=-2,
+                          dtype=jnp.bfloat16)[: self.k]  # (K, O), patch order
+        w = w2d.reshape((self.in_channels,) + tuple(self.kernel_size)
+                        + (self.out_channels,))
+        w = jnp.moveaxis(w, 0, -2)  # -> (*spatial, I, O)
+        xs = jnp.where(x >= 0, 1.0, -1.0).astype(jnp.bfloat16)
+        y = F.conv(xs, w, self.stride, self.padding, self.dilation, 1,
+                   preferred_element_type=jnp.float32)
+        y = y * self.scale[...] + self.add[...]
+        if self.spatial_post is not None:
+            y = self.spatial_post(y, x)
+        return y
+
+    def _call_im2col(self, x: jax.Array) -> jax.Array:
+        nd = len(self.kernel_size)
+        # sign BEFORE patch extraction so conv zero-padding contributes
+        # exactly 0 (not sign(0)=+1) — matching conv(sign(x), ...) semantics
+        xs = jnp.where(x >= 0, 1.0, -1.0).astype(jnp.bfloat16)
+        patches = lax.conv_general_dilated_patches(
+            xs,
+            filter_shape=self.kernel_size,
+            window_strides=F._ntuple(self.stride, nd),
+            padding=F.to_lax_padding(self.padding, nd),
+            rhs_dilation=F._ntuple(self.dilation, nd),
+            dimension_numbers=("NHWC", "HWIO", "NHWC") if nd == 2
+            else ("NWC", "WIO", "NWC"),
+        )  # (N, *out_spatial, K)
+        lead = patches.shape[:-1]
+        p2d = patches.reshape(-1, patches.shape[-1])
+        if self.use_pallas:
+            y = binary_gemm(p2d, self.w_packed[...], self.k,
+                            self.scale[...], self.add[...],
+                            sign_inputs=False, interpret=self.interpret)
+        else:
+            y = binary_gemm_reference(p2d, self.w_packed[...], self.k,
+                                      self.scale[...], self.add[...],
+                                      sign_inputs=False)
+        y = y.reshape(lead + (self.out_channels,))
+        if self.spatial_post is not None:
+            y = self.spatial_post(y, x)
+        return y
+
+
+_SIGN_PRE = (BasicInputBinarizer, AdvancedInputBinarizer)
+
+
+def _eligible(m) -> bool:
+    if not isinstance(m, (blayers.Linear, blayers.Conv1d, blayers.Conv2d)):
+        return False
+    if not isinstance(m.activation_pre_process, _SIGN_PRE):
+        return False
+    if not isinstance(m.weight_pre_process, XNORWeightBinarizer):
+        return False
+    if not isinstance(m.activation_post_process,
+                      (BasicScaleBinarizer, XNORScaleBinarizer, Identity)):
+        return False
+    if isinstance(m, (blayers.Conv1d, blayers.Conv2d)) and m.groups != 1:
+        return False
+    if (isinstance(m.activation_post_process, BasicScaleBinarizer)
+            and m.activation_post_process.alpha[...].ndim != 1):
+        return False
+    return True
+
+
+def deploy(model: nnx.Module, *, use_pallas: bool = True,
+           interpret: bool = False) -> nnx.Module:
+    """Replace eligible binary layers with bitpacked deployed layers.
+
+    Returns the mutated model (or the replacement module if the model itself
+    is a single eligible layer). Ineligible layers are left as-is.
+    """
+    replacements = {}
+    for name, m in named_modules(model):
+        if _eligible(m):
+            if isinstance(m, blayers.Linear):
+                replacements[name] = DeployedLinear(
+                    m, use_pallas=use_pallas, interpret=interpret)
+            else:
+                replacements[name] = DeployedConv(
+                    m, use_pallas=use_pallas, interpret=interpret)
+    if "" in replacements:
+        return replacements[""]
+    for name, new in replacements.items():
+        set_module_by_name(model, name, new)
+    return model
+
+
+def packed_weight_bytes(model: nnx.Module) -> int:
+    """Bytes of packed weight storage in a deployed model."""
+    total = 0
+    for _, m in named_modules(model):
+        if isinstance(m, (DeployedLinear, DeployedConv)):
+            total += m.w_packed[...].size * 4
+    return total
+
+
+def model_weight_bytes(model: nnx.Module) -> int:
+    """Total bytes of all kernel/packed-kernel parameters (for compression
+    reporting)."""
+    total = 0
+    for _, m in named_modules(model):
+        if isinstance(m, (DeployedLinear, DeployedConv)):
+            total += m.w_packed[...].size * 4
+        elif hasattr(m, "kernel") and isinstance(getattr(m, "kernel"), nnx.Param):
+            total += m.kernel[...].size * m.kernel[...].dtype.itemsize
+    return total

@@ -1,4 +1,4 @@
-from .ste import sign, sign_ste, stochastic_sign_ste, tanh_surrogate_sign
+from .ste import sign, sign_ste, sign_pm1_ste, stochastic_sign_ste, tanh_surrogate_sign
 from .registry import register, resolve, registered_names
 from .binarizers import (
     BinarizerBase,
@@ -14,6 +14,7 @@ from .binarizers import (
 __all__ = [
     "sign",
     "sign_ste",
+    "sign_pm1_ste",
     "stochastic_sign_ste",
     "tanh_surrogate_sign",
     "register",

@@ -22,7 +22,7 @@ from flax import nnx
 
 from .. import functional as F
 from .registry import register
-from .ste import sign_ste, stochastic_sign_ste, tanh_surrogate_sign
+from .ste import sign_pm1_ste, sign_ste, stochastic_sign_ste, tanh_surrogate_sign
 
 __all__ = [
     "BinarizerBase",
@@ -87,11 +87,18 @@ class Identity(BinarizerBase):
 class BasicInputBinarizer(BinarizerBase):
     """Element-wise deterministic sign with hardtanh-STE gradients.
 
-    Reference: bnn/ops.py:143-152.
+    Reference: bnn/ops.py:143-152. By default matches ``torch.sign``
+    (``sign(0) == 0``). With ``zero_to_one=True`` exact zeros map to ``+1``
+    instead — bit-identical to the bitpacked deployment path (recommended for
+    models with ReLU, which produces exact zeros; see
+    :func:`bnn_tpu.ops.ste.sign_pm1_ste`).
     """
 
+    def __init__(self, zero_to_one: bool = False):
+        self.zero_to_one = zero_to_one
+
     def __call__(self, x: jax.Array) -> jax.Array:
-        return sign_ste(x)
+        return sign_pm1_ste(x) if self.zero_to_one else sign_ste(x)
 
 
 @register

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 __all__ = [
     "sign",
     "sign_ste",
+    "sign_pm1_ste",
     "stochastic_sign_ste",
     "tanh_surrogate_sign",
 ]
@@ -44,6 +45,26 @@ def _sign_ste_bwd(x, g):
 
 
 sign_ste.defvjp(_sign_ste_fwd, _sign_ste_bwd)
+
+
+@jax.custom_vjp
+def sign_pm1_ste(x: jax.Array) -> jax.Array:
+    """Strictly-binary sign: ``+1 where x >= 0 else -1``, hardtanh STE.
+
+    Unlike :func:`sign_ste` (which matches ``torch.sign`` with
+    ``sign(0) == 0``), this maps exact zeros to ``+1`` — the deployment
+    convention of the bitpacked engine. Training with this variant makes the
+    QAT forward bit-identical to the deployed forward (important after ReLU,
+    which produces exact zeros).
+    """
+    return jnp.where(x >= 0, 1.0, -1.0).astype(x.dtype)
+
+
+def _sign_pm1_fwd(x):
+    return jnp.where(x >= 0, 1.0, -1.0).astype(x.dtype), x
+
+
+sign_pm1_ste.defvjp(_sign_pm1_fwd, _sign_ste_bwd)
 
 
 @jax.custom_vjp

@@ -1,0 +1,169 @@
+"""Deployment (bitpacked inference) tests: numerical parity between the QAT
+fake path and the deployed packed path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from bnn_tpu import BConfig, nn, prepare_binary_model
+from bnn_tpu import layers as blayers
+from bnn_tpu.inference import (
+    DeployedConv,
+    DeployedLinear,
+    deploy,
+    model_weight_bytes,
+)
+from bnn_tpu.ops import (
+    BasicInputBinarizer,
+    BasicScaleBinarizer,
+    Identity,
+    StochasticInputBinarizer,
+    XNORScaleBinarizer,
+    XNORWeightBinarizer,
+)
+
+BCONFIG = BConfig(
+    activation_pre_process=BasicInputBinarizer,
+    activation_post_process=BasicScaleBinarizer,
+    weight_pre_process=XNORWeightBinarizer,
+)
+
+
+def _rand_no_zeros(key, shape):
+    # avoid exact zeros: QAT sign(0)=0 vs deployed sign(0)=+1
+    x = jax.random.normal(key, shape)
+    return jnp.where(x == 0, 1e-3, x)
+
+
+class TestDeployedLinear:
+    @pytest.mark.parametrize("in_f,out_f,bias", [(64, 32, True), (100, 10, False)])
+    def test_parity(self, in_f, out_f, bias):
+        layer = blayers.Linear(in_f, out_f, bias=bias, bconfig=BCONFIG,
+                               rngs=nnx.Rngs(0))
+        layer.activation_post_process.alpha[...] = jnp.abs(
+            jax.random.normal(jax.random.key(1), (out_f,))) + 0.1
+        x = _rand_no_zeros(jax.random.key(2), (4, in_f))
+        expected = layer(x)
+        dep = deploy(layer, use_pallas=False)
+        assert isinstance(dep, DeployedLinear)
+        np.testing.assert_allclose(dep(x), expected, rtol=1e-5, atol=1e-5)
+
+    def test_parity_pallas_interpret(self):
+        layer = blayers.Linear(128, 64, bconfig=BCONFIG, rngs=nnx.Rngs(0))
+        x = _rand_no_zeros(jax.random.key(3), (8, 128))
+        expected = layer(x)
+        dep = deploy(layer, use_pallas=True, interpret=True)
+        np.testing.assert_allclose(dep(x), expected, rtol=1e-5, atol=1e-5)
+
+    def test_center_weights_folded(self):
+        bconfig = BConfig(
+            activation_pre_process=BasicInputBinarizer,
+            activation_post_process=BasicScaleBinarizer,
+            weight_pre_process=XNORWeightBinarizer.with_args(center_weights=True),
+        )
+        layer = blayers.Linear(64, 16, bconfig=bconfig, rngs=nnx.Rngs(0))
+        x = _rand_no_zeros(jax.random.key(4), (4, 64))
+        expected = layer(x)
+        dep = deploy(layer, use_pallas=False)
+        np.testing.assert_allclose(dep(x), expected, rtol=1e-5, atol=1e-5)
+
+    def test_no_alpha(self):
+        bconfig = BConfig(
+            activation_pre_process=BasicInputBinarizer,
+            activation_post_process=Identity,
+            weight_pre_process=XNORWeightBinarizer.with_args(compute_alpha=False),
+        )
+        layer = blayers.Linear(64, 16, bconfig=bconfig, rngs=nnx.Rngs(0))
+        x = _rand_no_zeros(jax.random.key(5), (4, 64))
+        expected = layer(x)
+        dep = deploy(layer, use_pallas=False)
+        np.testing.assert_allclose(dep(x), expected, rtol=1e-5, atol=1e-5)
+
+
+class TestDeployedConv:
+    @pytest.mark.parametrize("ksize,stride,pad", [(1, 1, 0), (3, 1, 1), (3, 2, 1), (5, 2, 2)])
+    def test_conv2d_parity(self, ksize, stride, pad):
+        layer = blayers.Conv2d(32, 16, ksize, stride=stride, padding=pad,
+                               bconfig=BCONFIG, rngs=nnx.Rngs(0))
+        x = _rand_no_zeros(jax.random.key(6), (2, 8, 8, 32))
+        expected = layer(x)
+        dep = deploy(layer, use_pallas=False)
+        assert isinstance(dep, DeployedConv)
+        np.testing.assert_allclose(dep(x), expected, rtol=1e-4, atol=1e-4)
+
+    def test_conv1d_parity(self):
+        layer = blayers.Conv1d(32, 16, 3, padding=1, bconfig=BCONFIG,
+                               rngs=nnx.Rngs(0))
+        x = _rand_no_zeros(jax.random.key(7), (2, 12, 32))
+        expected = layer(x)
+        dep = deploy(layer, use_pallas=False)
+        np.testing.assert_allclose(dep(x), expected, rtol=1e-4, atol=1e-4)
+
+    def test_conv2d_parity_pallas_interpret(self):
+        layer = blayers.Conv2d(32, 16, 3, padding=1, bconfig=BCONFIG,
+                               rngs=nnx.Rngs(0))
+        x = _rand_no_zeros(jax.random.key(8), (2, 8, 8, 32))
+        expected = layer(x)
+        dep = deploy(layer, use_pallas=True, interpret=True)
+        np.testing.assert_allclose(dep(x), expected, rtol=1e-4, atol=1e-4)
+
+    def test_xnor_spatial_scale_post(self):
+        bconfig = BConfig(
+            activation_pre_process=BasicInputBinarizer,
+            activation_post_process=XNORScaleBinarizer,
+            weight_pre_process=XNORWeightBinarizer,
+        )
+        layer = blayers.Conv2d(32, 16, 3, padding=1, bconfig=bconfig,
+                               rngs=nnx.Rngs(0))
+        x = _rand_no_zeros(jax.random.key(9), (2, 8, 8, 32))
+        expected = layer(x)
+        dep = deploy(layer, use_pallas=False)
+        np.testing.assert_allclose(dep(x), expected, rtol=1e-4, atol=1e-4)
+
+
+class TestDeployModel:
+    def _bin_model(self):
+        rngs = nnx.Rngs(0)
+        net = nn.Sequential(
+            nn.Conv2d(3, 32, 3, padding=1, rngs=rngs),
+            nn.BatchNorm2d(32, rngs=rngs),
+            nn.PReLU(32, rngs=rngs),
+            nn.Conv2d(32, 64, 3, stride=2, padding=1, rngs=rngs),
+            nn.BatchNorm2d(64, rngs=rngs),
+            nn.PReLU(64, rngs=rngs),
+            nn.AdaptiveAvgPool2d(1),
+            nn.Flatten(),
+            nn.Linear(64, 10, rngs=rngs),
+        )
+        return prepare_binary_model(net, bconfig=BCONFIG,
+                                    ignore_layers_name=["_first_"])
+
+    def test_whole_model_parity_and_structure(self):
+        model = self._bin_model()
+        model.eval()
+        x = _rand_no_zeros(jax.random.key(10), (2, 8, 8, 3))
+        expected = model(x)
+        dep = deploy(model, use_pallas=False)
+        assert type(dep[0]) is nn.Conv2d  # float layer untouched
+        assert isinstance(dep[3], DeployedConv)
+        assert isinstance(dep[8], DeployedLinear)
+        np.testing.assert_allclose(dep(x), expected, rtol=1e-4, atol=1e-4)
+
+    def test_ineligible_layers_left_alone(self):
+        bconfig = BConfig(
+            activation_pre_process=StochasticInputBinarizer,  # not deployable
+            activation_post_process=BasicScaleBinarizer,
+            weight_pre_process=XNORWeightBinarizer,
+        )
+        layer = blayers.Linear(16, 4, bconfig=bconfig, rngs=nnx.Rngs(0))
+        dep = deploy(layer)
+        assert dep is layer
+
+    def test_weight_compression(self):
+        model = self._bin_model()
+        before = model_weight_bytes(model)
+        dep = deploy(model, use_pallas=False)
+        after = model_weight_bytes(dep)
+        # binary layers dominate: overall compression should be large
+        assert before / after > 10

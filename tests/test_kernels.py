@@ -1,0 +1,99 @@
+"""Bitpacking + binary GEMM kernel tests (Pallas in interpreter mode on CPU;
+the same kernels compile for TPU via Mosaic)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bnn_tpu.kernels.packing import pack_bits, packed_words, unpack_bits
+from bnn_tpu.kernels.gemm import (
+    binary_gemm,
+    binary_gemm_reference,
+    popcount_gemm_reference,
+)
+
+
+class TestPacking:
+    @pytest.mark.parametrize("k", [32, 64, 96, 33, 7, 100])
+    def test_pack_unpack_roundtrip(self, k):
+        w = jax.random.normal(jax.random.key(0), (k, 16))
+        p = pack_bits(w, axis=-2)
+        assert p.shape == (packed_words(k), 16)
+        assert p.dtype == jnp.uint32
+        u = unpack_bits(p, k, axis=-2)
+        expected = jnp.where(w >= 0, 1.0, -1.0)
+        np.testing.assert_array_equal(u[:k], expected)
+        # padding rows must be exactly 0
+        if packed_words(k) * 32 != k:
+            np.testing.assert_array_equal(u[k:], 0.0)
+
+    def test_compression_ratio(self):
+        w = jax.random.normal(jax.random.key(1), (512, 512))
+        p = pack_bits(w, axis=-2)
+        assert w.size * 4 / (p.size * 4) == 32.0  # fp32 -> 1 bit
+
+    def test_pack_axis_last(self):
+        x = jax.random.normal(jax.random.key(2), (4, 64))
+        p = pack_bits(x, axis=-1)
+        assert p.shape == (4, 2)
+        u = unpack_bits(p, 64, axis=-1)
+        np.testing.assert_array_equal(u, jnp.where(x >= 0, 1.0, -1.0))
+
+
+class TestBinaryGemm:
+    def _check(self, m, k, n, scale=True, add=True, seed=0):
+        kx, kw_, ks, kb = jax.random.split(jax.random.key(seed), 4)
+        x = jax.random.normal(kx, (m, k))
+        w = jax.random.normal(kw_, (k, n))
+        wp = pack_bits(w, axis=-2)
+        s = jax.random.normal(ks, (n,)) if scale else None
+        b = jax.random.normal(kb, (n,)) if add else None
+        ref = binary_gemm_reference(x, wp, k, s, b)
+        out = binary_gemm(x, wp, k, s, b, interpret=True)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+        # cross-check against exact integer math
+        xs = np.where(np.asarray(x) >= 0, 1.0, -1.0)
+        ws = np.where(np.asarray(w) >= 0, 1.0, -1.0)
+        exact = xs @ ws
+        if scale:
+            exact = exact * np.asarray(s)
+        if add:
+            exact = exact + np.asarray(b)
+        np.testing.assert_allclose(out, exact, rtol=1e-4, atol=1e-4)
+
+    def test_aligned(self):
+        self._check(16, 256, 128)
+
+    def test_unaligned_k(self):
+        self._check(8, 100, 128)
+
+    def test_unaligned_all(self):
+        self._check(5, 70, 10)
+
+    def test_multiple_k_tiles(self):
+        self._check(8, 1024, 128)
+
+    def test_no_scale_no_add(self):
+        self._check(8, 256, 128, scale=False, add=False)
+
+    def test_large_n_tiling(self):
+        self._check(8, 256, 512)
+
+    def test_sign_zero_is_plus_one(self):
+        x = jnp.zeros((8, 32))
+        w = jnp.ones((32, 128))
+        wp = pack_bits(w, axis=-2)
+        out = binary_gemm(x, wp, 32, interpret=True)
+        np.testing.assert_array_equal(out, 32.0)  # (+1) . (+1) summed
+
+
+class TestPopcountGemm:
+    @pytest.mark.parametrize("m,k,n", [(4, 64, 8), (3, 100, 5), (8, 256, 16)])
+    def test_matches_reference(self, m, k, n):
+        kx, kw_ = jax.random.split(jax.random.key(3))
+        x = jax.random.normal(kx, (m, k))
+        w = jax.random.normal(kw_, (k, n))
+        wp = pack_bits(w, axis=-2)
+        ref = binary_gemm_reference(x, wp, k)
+        pop = popcount_gemm_reference(x, wp, k)
+        np.testing.assert_allclose(pop, ref, atol=1e-5)
