@@ -1,0 +1,94 @@
+"""Headline benchmark: binary ResNet-18 inference on TPU.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+value: images/s of the deployed binary ResNet-18 forward (int8-MXU execution
+with folded dequant epilogue) at batch 64, 224x224.
+vs_baseline: speedup vs the reference's execution model — the QAT "fake"
+binary path (fp32 sign + alpha through XLA convs), which is how the
+reference framework executes binary nets (it ships no hardware execution
+path, reference README.md:22) — measured on the same chip, same batch.
+
+Timing uses a device-side fori_loop (one dispatch, one readback), robust to
+async-dispatch/tunnel latency.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from flax import nnx
+    from bnn_tpu import BConfig, models, prepare_binary_model
+    from bnn_tpu.inference import deploy, model_weight_bytes
+    from bnn_tpu.ops import (
+        BasicInputBinarizer,
+        BasicScaleBinarizer,
+        XNORWeightBinarizer,
+    )
+    from bnn_tpu.utils.timing import loop_time
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+    on_tpu = dev.platform != "cpu"
+    batch, size, iters = (64, 224, 40) if on_tpu else (8, 64, 5)
+    rounds = 3 if on_tpu else 1
+
+    def build():
+        m = models.resnet18(num_classes=1000, rngs=nnx.Rngs(0))
+        m = prepare_binary_model(
+            m,
+            bconfig=BConfig(
+                activation_pre_process=BasicInputBinarizer.with_args(
+                    zero_to_one=True),
+                activation_post_process=BasicScaleBinarizer,
+                weight_pre_process=XNORWeightBinarizer,
+            ),
+            ignore_layers_name=["_first_", "_last_"],
+        )
+        m.eval()
+        return m
+
+    x = jax.random.normal(jax.random.key(0), (batch, size, size, 3))
+
+    qat_model = build()
+    gq, sq = nnx.split(qat_model)
+    t0 = time.time()
+    t_qat = loop_time(lambda v: nnx.merge(gq, sq)(v), x, iters=iters, rounds=rounds)
+    log(f"QAT fake path: {t_qat*1e3:.2f} ms/batch ({batch/t_qat:.0f} img/s) "
+        f"[measured in {time.time()-t0:.0f}s] "
+        f"weights {model_weight_bytes(qat_model)/1e6:.1f} MB")
+
+    dep_i8 = deploy(build(), use_pallas=on_tpu, weight_format="int8")
+    gi, si = nnx.split(dep_i8)
+    t_i8 = loop_time(lambda v: nnx.merge(gi, si)(v), x, iters=iters, rounds=rounds)
+    log(f"deployed int8: {t_i8*1e3:.2f} ms/batch ({batch/t_i8:.0f} img/s) "
+        f"weights {model_weight_bytes(dep_i8)/1e6:.1f} MB "
+        f"speedup {t_qat/t_i8:.2f}x")
+
+    dep_p = deploy(build(), use_pallas=on_tpu, weight_format="packed")
+    gp, sp = nnx.split(dep_p)
+    t_p = loop_time(lambda v: nnx.merge(gp, sp)(v), x, iters=iters, rounds=rounds)
+    log(f"deployed packed: {t_p*1e3:.2f} ms/batch ({batch/t_p:.0f} img/s) "
+        f"weights {model_weight_bytes(dep_p)/1e6:.1f} MB "
+        f"speedup {t_qat/t_p:.2f}x")
+
+    imgs_per_s = batch / t_i8
+    print(json.dumps({
+        "metric": "binary_resnet18_deployed_inference",
+        "value": round(imgs_per_s, 1),
+        "unit": "images/s",
+        "vs_baseline": round(t_qat / t_i8, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -152,22 +152,18 @@ class DeployedConv(nnx.Module):
     """
 
     def __init__(self, layer, *, use_pallas: bool = True, interpret: bool = False,
-                 mode: str = "auto"):
-        self.mode = mode
+                 mode: str = "auto", weight_format: str = "packed"):
         self.in_channels = layer.in_channels
         self.out_channels = layer.out_channels
         self.kernel_size = layer.kernel_size
         self.stride = layer.stride
         self.padding = layer.padding
         self.dilation = layer.dilation
-        nd = len(self.kernel_size)
 
-        # conv_general_dilated_patches emits features ordered (C, *positions):
-        # transpose the (*spatial, I, O) kernel to (I, *spatial, O) before
-        # packing so the GEMM K-axis matches the patch layout. Centering uses
-        # the ORIGINAL in-channel axis (reference bnn/ops.py:130-132).
         wb = layer.weight_pre_process
         w = layer.kernel[...]
+        # centering uses the ORIGINAL in-channel axis (reference
+        # bnn/ops.py:130-132)
         w_eff = w - jnp.mean(w, axis=-2, keepdims=True) if wb.center_weights else w
         out_ch = w.shape[-1]
         if wb.compute_alpha:
@@ -184,9 +180,32 @@ class DeployedConv(nnx.Module):
         add = ((bias * alpha_post).astype(jnp.float32) if bias is not None
                else jnp.zeros_like(scale))
 
-        w2d = jnp.moveaxis(w_eff, -2, 0).reshape(-1, out_ch)  # patch order
-        self.w_packed = nnx.Variable(pack_bits(w2d, axis=-2))
-        self.k = w2d.shape[0]
+        if mode == "auto":
+            # fused Pallas GEMM wins for pointwise convs with a big-enough
+            # reduction; below 256 the int32-tile K padding wastes MXU work
+            k_flat = w_eff.size // out_ch
+            mode = "gemm" if (self._is_pointwise() and k_flat >= 256) else "conv"
+        self.mode = mode
+
+        self.weight_format = weight_format
+        if mode == "conv" and weight_format == "int8":
+            # speed format: +/-1 int8 weights stored directly (8x smaller
+            # than fp32; zero unpack work in the hot path)
+            self.w_packed = nnx.Variable(
+                jnp.where(w_eff >= 0, 1, -1).astype(jnp.int8))
+            self.k = w_eff.shape[-2]
+        elif mode == "conv":
+            # max-compression format (32x): pack in the kernel's own
+            # (*spatial, I, O) layout: unpacking is then a pure
+            # bit-expansion with NO transpose in the hot path
+            self.w_packed = nnx.Variable(pack_bits(w_eff, axis=-2))
+            self.k = w_eff.shape[-2]  # in-channels
+        else:
+            # GEMM paths need the patch-extraction order (channel-major):
+            # (I, *spatial) flattened on the K axis
+            w2d = jnp.moveaxis(w_eff, -2, 0).reshape(-1, out_ch)
+            self.w_packed = nnx.Variable(pack_bits(w2d, axis=-2))
+            self.k = w2d.shape[0]
         self.scale = nnx.Variable(scale)
         self.add = nnx.Variable(add)
         self.use_pallas = use_pallas
@@ -206,25 +225,26 @@ class DeployedConv(nnx.Module):
         return all(p == 0 for p in F._ntuple(self.padding, nd))
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        mode = self.mode
-        if mode == "auto":
-            mode = "gemm" if self._is_pointwise() else "conv"
-        if mode == "gemm" or mode == "im2col":
+        if self.mode in ("gemm", "im2col"):
             return self._call_im2col(x)
         return self._call_conv(x)
 
     def _call_conv(self, x: jax.Array) -> jax.Array:
-        # unpack packed weights to +/-1 bf16 in-graph; tiny vs activations
-        nd = len(self.kernel_size)
-        w2d = unpack_bits(self.w_packed[...], self.k, axis=-2,
-                          dtype=jnp.bfloat16)[: self.k]  # (K, O), patch order
-        w = w2d.reshape((self.in_channels,) + tuple(self.kernel_size)
-                        + (self.out_channels,))
-        w = jnp.moveaxis(w, 0, -2)  # -> (*spatial, I, O)
-        xs = jnp.where(x >= 0, 1.0, -1.0).astype(jnp.bfloat16)
+        # +/-1 int8 weights (unpacked in-graph from bit-packed storage, or
+        # stored int8 directly in the 'int8' speed format) feed the conv on
+        # the MXU's int8 mode with exact int32 accumulation — 2x the bf16
+        # rate on TPU v5e; +/-1 operands are exactly representable, so
+        # binary nets get the int8 speed tier for free. Dequant in f32.
+        if self.weight_format == "int8":
+            w = self.w_packed[...]
+        else:
+            w = unpack_bits(self.w_packed[...], self.k, axis=-2,
+                            dtype=jnp.int8)
+            w = w[..., : self.k, :]  # drop I padding rows
+        xs = jnp.where(x >= 0, 1, -1).astype(jnp.int8)
         y = F.conv(xs, w, self.stride, self.padding, self.dilation, 1,
-                   preferred_element_type=jnp.float32)
-        y = y * self.scale[...] + self.add[...]
+                   preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * self.scale[...] + self.add[...]
         if self.spatial_post is not None:
             y = self.spatial_post(y, x)
         return y
@@ -281,8 +301,12 @@ def _eligible(m) -> bool:
 
 
 def deploy(model: nnx.Module, *, use_pallas: bool = True,
-           interpret: bool = False) -> nnx.Module:
+           interpret: bool = False, weight_format: str = "packed") -> nnx.Module:
     """Replace eligible binary layers with bitpacked deployed layers.
+
+    ``weight_format``: ``'packed'`` (1-bit lanes, 32x compression, weights
+    unpacked to int8 in-graph) or ``'int8'`` (8x compression, zero unpack
+    work — the latency-optimal serving format).
 
     Returns the mutated model (or the replacement module if the model itself
     is a single eligible layer). Ineligible layers are left as-is.
@@ -295,7 +319,8 @@ def deploy(model: nnx.Module, *, use_pallas: bool = True,
                     m, use_pallas=use_pallas, interpret=interpret)
             else:
                 replacements[name] = DeployedConv(
-                    m, use_pallas=use_pallas, interpret=interpret)
+                    m, use_pallas=use_pallas, interpret=interpret,
+                    weight_format=weight_format)
     if "" in replacements:
         return replacements[""]
     for name, new in replacements.items():
@@ -308,7 +333,7 @@ def packed_weight_bytes(model: nnx.Module) -> int:
     total = 0
     for _, m in named_modules(model):
         if isinstance(m, (DeployedLinear, DeployedConv)):
-            total += m.w_packed[...].size * 4
+            total += m.w_packed[...].size * m.w_packed[...].dtype.itemsize
     return total
 
 
@@ -318,7 +343,7 @@ def model_weight_bytes(model: nnx.Module) -> int:
     total = 0
     for _, m in named_modules(model):
         if isinstance(m, (DeployedLinear, DeployedConv)):
-            total += m.w_packed[...].size * 4
+            total += m.w_packed[...].size * m.w_packed[...].dtype.itemsize
         elif hasattr(m, "kernel") and isinstance(getattr(m, "kernel"), nnx.Param):
             total += m.kernel[...].size * m.kernel[...].dtype.itemsize
     return total

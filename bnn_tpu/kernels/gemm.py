@@ -5,11 +5,13 @@ The inference hot path. Two executions of the same math:
 - :func:`binary_gemm` — Pallas TPU kernel. Weights live in HBM as packed
   int32 lanes (32x smaller than fp32, 16x smaller than bf16 — this is the
   HBM-bandwidth win). Each grid step DMAs a packed tile into VMEM, expands it
-  to ``+/-1`` bf16 *in VMEM* (VPU shifts — never materialized in HBM),
-  signs the activation tile, and feeds the 128x128 MXU with a bf16 dot,
-  accumulating in fp32. The per-out-channel ``alpha`` scale and bias fold
-  into the epilogue of the last K step, so binarize + matmul + dequant +
-  bias is ONE kernel with packed-weight HBM traffic.
+  to ``+/-1`` int8 *in VMEM* (VPU shifts — never materialized in HBM),
+  signs the activation tile to int8, and feeds the MXU in its int8 mode
+  (2x the bf16 rate on TPU v5e: +/-1 operands are exactly representable, so
+  binary nets get the int8 speed tier "for free"), accumulating exactly in
+  int32. The per-out-channel ``alpha`` scale and bias fold into the fp32
+  epilogue of the last K step, so binarize + matmul + dequant + bias is ONE
+  kernel with packed-weight HBM traffic.
 
 - :func:`binary_gemm_reference` — pure-jnp reference used for testing and as
   a CPU fallback.
@@ -57,34 +59,35 @@ def _bin_gemm_kernel(x_ref, wp_ref, scale_ref, add_ref, out_ref, acc_ref, *,
 
     # sign the activation tile (sign(0) == +1 deployment convention);
     # with sign_inputs=False the caller pre-signed (e.g. before zero-padded
-    # patch extraction, where padding must contribute exactly 0)
+    # patch extraction, where padding must contribute exactly 0) and values
+    # are in {-1, 0, +1} — exact in int8
     x = x_ref[...]
     if sign_inputs:
-        xs = jnp.where(x >= 0, 1.0, -1.0).astype(jnp.bfloat16)
+        xs = jnp.where(x >= 0, 1, -1).astype(jnp.int8)
     else:
-        xs = x.astype(jnp.bfloat16)
+        xs = x.astype(jnp.int8)
 
-    # expand packed weight tile (block_k//32, bn) -> (+/-1 bf16, block_k, bn):
+    # expand packed weight tile (block_k//32, bn) -> (+/-1 int8, block_k, bn):
     # word r//32 bit r%32 lands on row r, matching pack_bits' layout
     wp = wp_ref[...]  # uint32
     bkw, bn = wp.shape
     shifts = jax.lax.broadcasted_iota(jnp.uint32, (bkw, 32, bn), 1)
     bits = (wp[:, None, :] >> shifts) & jnp.uint32(1)
-    # Mosaic has no direct uint32->bf16 cast; go via int32 -> f32
-    w = (2.0 * bits.astype(jnp.int32).astype(jnp.float32) - 1.0)
-    w = w.astype(jnp.bfloat16).reshape(block_k, bn)
+    w = (2 * bits.astype(jnp.int32) - 1).reshape(block_k, bn)
     # mask K padding rows to 0 so they contribute nothing
     rows = jax.lax.broadcasted_iota(jnp.int32, (block_k, bn), 0)
     w = jnp.where(rows + k_idx * block_k < k_true, w, jnp.zeros_like(w))
 
-    # precision pinned so a global jax_default_matmul_precision=highest does
-    # not force an unsupported fp32-contract bf16 matmul in Mosaic
-    acc_ref[...] += jnp.dot(xs, w, preferred_element_type=jnp.float32,
-                            precision=lax.Precision.DEFAULT)
+    # int8 x int8 -> int32 on the MXU: exact, and 2x the bf16 rate on v5e
+    acc_ref[...] += jax.lax.dot_general(
+        xs, w.astype(jnp.int8),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
 
     @pl.when(k_idx == nk - 1)
     def _epilogue():
-        out_ref[...] = acc_ref[...] * scale_ref[...] + add_ref[...]
+        out_ref[...] = (acc_ref[...].astype(jnp.float32) * scale_ref[...]
+                        + add_ref[...])
 
 
 def binary_gemm(
@@ -118,7 +121,7 @@ def binary_gemm(
     scale = jnp.ones((n,), jnp.float32) if scale is None else scale
     add = jnp.zeros((n,), jnp.float32) if add is None else add
 
-    bm = min(block_m, _round_up(m, 8))
+    bm = min(block_m, _round_up(m, 32))  # int8 sublane tile is 32
     bn = min(block_n, _round_up(n, 128))
     bk = min(block_k, _round_up(k, 256))
     assert bk % 32 == 0
@@ -149,7 +152,7 @@ def binary_gemm(
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp,
             bytes_accessed=mp * kp * x.dtype.itemsize + kp // 32 * np_ * 4

@@ -64,7 +64,10 @@ def unpack_bits(packed: jax.Array, k: int, axis: int = -2,
     )
     expanded = jnp.expand_dims(packed, axis + 1)
     bits = (expanded >> shifts) & jnp.uint32(1)
-    values = (2.0 * bits.astype(dtype) - 1.0)
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.integer):
+        values = (2 * bits.astype(jnp.int32) - 1).astype(dtype)
+    else:
+        values = (2.0 * bits.astype(dtype) - 1.0)
     new_shape = packed.shape[:axis] + (words * 32,) + packed.shape[axis + 1:]
     values = values.reshape(new_shape)
     if words * 32 != k:

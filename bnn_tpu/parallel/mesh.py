@@ -1,0 +1,131 @@
+"""Device meshes and sharding rules.
+
+TPU-native scaling layer. The reference scales with ``nn.DataParallel`` /
+DDP + NCCL (examples/imagenet.py:120-187); here the same capability (and
+more — the reference has no tensor parallelism at all, SURVEY.md §2.3) is a
+``jax.sharding.Mesh`` plus ``NamedSharding`` annotations: XLA's GSPMD
+partitioner inserts the gradient ``psum`` (DDP's allreduce) and weight-shard
+``all-gather`` collectives over ICI/DCN automatically.
+
+Axes convention:
+- ``data``: batch axis (data parallelism; gradients psum over it)
+- ``model``: output-channel axis of kernels / packed weights (tensor
+  parallelism; the north-star "bitpacked weights tensor-sharded over ICI")
+"""
+from __future__ import annotations
+
+import re
+
+from flax import nnx
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "shard_state",
+           "shard_model", "DEFAULT_TP_RULES"]
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a ``(data, model)`` mesh over the available devices.
+
+    ``data=None`` uses all remaining devices on the data axis. On multi-host
+    systems call ``jax.distributed.initialize()`` first; ``jax.devices()``
+    then spans all hosts and the mesh lays the data axis across DCN and the
+    model axis within a slice (ICI) by construction order.
+    """
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.array(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a batch (pytree of arrays, leading batch dim) on the data axis."""
+    def _shard(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(_shard, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree across the mesh."""
+    def _rep(x):
+        return jax.device_put(x, NamedSharding(mesh, P()))
+    return jax.tree_util.tree_map(_rep, tree)
+
+
+# Tensor-parallel rules: dotted-path regex -> PartitionSpec factory taking the
+# array rank. Kernels are out-channel-last in this framework, so TP shards the
+# LAST axis; the bitpacked inference weights (``w_packed`` (Kw, N)) shard the
+# same way — packed lanes stay local, out-channels split over ICI.
+DEFAULT_TP_RULES: Tuple[Tuple[str, object], ...] = (
+    (r"\bkernel$", lambda ndim: P(*([None] * (ndim - 1) + ["model"]))),
+    (r"\bw_packed$", lambda ndim: P(*([None] * (ndim - 1) + ["model"]))),
+    (r"\bbias$", lambda ndim: P("model")),
+    (r"\bscale$", lambda ndim: P("model")),
+    (r"\badd$", lambda ndim: P("model")),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        key = getattr(p, "key", getattr(p, "name", getattr(p, "idx", p)))
+        parts.append(str(key))
+    # nnx state leaves live under the Variable's `.value`; rules address the
+    # variable name itself
+    if parts and parts[-1] == "value":
+        parts.pop()
+    return ".".join(parts)
+
+
+def shard_state(state, mesh: Mesh, rules=DEFAULT_TP_RULES, min_size: int = 1024):
+    """Apply tensor-parallel sharding rules to an nnx state pytree.
+
+    Arrays whose path matches a rule (and whose sharded axis divides evenly
+    over the ``model`` axis) get the rule's spec; everything else is
+    replicated. Shardings are NamedShardings so the same state drives
+    ``jit``'s ``in_shardings`` directly.
+    """
+    model_size = mesh.shape["model"]
+
+    def _assign(path, x):
+        if not hasattr(x, "ndim"):
+            return x
+        name = _path_str(path)
+        if model_size > 1 and x.size >= min_size:
+            for pat, spec_fn in rules:
+                if re.search(pat, name):
+                    spec = spec_fn(x.ndim)
+                    # check divisibility of each sharded axis
+                    ok = True
+                    for axis, axis_name in enumerate(spec):
+                        if axis_name is not None and \
+                                x.shape[axis] % model_size != 0:
+                            ok = False
+                    if ok:
+                        return jax.device_put(x, NamedSharding(mesh, spec))
+                    break
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(_assign, state)
+
+
+def shard_model(obj, mesh: Mesh, rules=DEFAULT_TP_RULES, min_size: int = 1024):
+    """Commit an nnx object's (model or optimizer) state arrays to the mesh.
+
+    With ``model`` axis size 1 this replicates everything (pure data
+    parallelism); otherwise tensor-parallel rules apply. Mutates ``obj`` in
+    place and returns it.
+    """
+    state = nnx.state(obj)
+    state = shard_state(state, mesh, rules=rules, min_size=min_size)
+    nnx.update(obj, state)
+    return obj

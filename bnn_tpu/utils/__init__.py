@@ -1,0 +1,15 @@
+from .meters import AverageMeter, ProgressMeter, accuracy, count_parameters
+from .checkpoint import save_checkpoint, load_checkpoint, restore_into
+from .flops import OpCount, count_ops
+
+__all__ = [
+    "AverageMeter",
+    "ProgressMeter",
+    "accuracy",
+    "count_parameters",
+    "save_checkpoint",
+    "load_checkpoint",
+    "restore_into",
+    "OpCount",
+    "count_ops",
+]

@@ -1,0 +1,143 @@
+"""Tests for meters, checkpointing and the FLOPs/BOPs counter."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from bnn_tpu import BConfig, nn, prepare_binary_model
+from bnn_tpu.ops import BasicInputBinarizer, BasicScaleBinarizer, XNORWeightBinarizer
+from bnn_tpu.utils import (
+    AverageMeter,
+    ProgressMeter,
+    accuracy,
+    count_ops,
+    count_parameters,
+    load_checkpoint,
+    restore_into,
+    save_checkpoint,
+)
+
+BC = BConfig(BasicInputBinarizer, BasicScaleBinarizer, XNORWeightBinarizer)
+
+
+def make_net(seed=0):
+    rngs = nnx.Rngs(seed)
+    return nn.Sequential(
+        nn.Conv2d(3, 16, 3, padding=1, rngs=rngs),
+        nn.BatchNorm2d(16, rngs=rngs),
+        nn.ReLU(),
+        nn.AdaptiveAvgPool2d(1),
+        nn.Flatten(),
+        nn.Linear(16, 4, rngs=rngs),
+    )
+
+
+class TestMeters:
+    def test_average_meter(self):
+        m = AverageMeter("loss", ":.2f")
+        m.update(2.0)
+        m.update(4.0, n=3)
+        assert m.val == 4.0
+        assert m.count == 4
+        assert m.avg == pytest.approx(3.5)
+        assert "loss" in str(m)
+
+    def test_progress_meter_prints(self, capsys):
+        m = AverageMeter("acc", ":.1f")
+        m.update(1.0)
+        ProgressMeter(10, [m], prefix="Epoch[0]").display(3)
+        out = capsys.readouterr().out
+        assert "Epoch[0]" in out and "acc" in out
+
+    def test_accuracy_topk(self):
+        logits = jnp.array([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
+        target = jnp.array([1, 2])
+        top1, top2 = accuracy(logits, target, topk=(1, 2))
+        assert top1 == pytest.approx(50.0)
+        assert top2 == pytest.approx(50.0)
+        top3 = accuracy(logits, target, topk=(3,))[0]
+        assert top3 == pytest.approx(100.0)
+
+    def test_count_parameters(self):
+        lin = nn.Linear(4, 3, rngs=nnx.Rngs(0))
+        assert count_parameters(lin) == 4 * 3 + 3
+
+
+class TestCheckpoint:
+    def test_round_trip(self, tmp_path):
+        net = prepare_binary_model(make_net(), bconfig=BC)
+        net.eval()
+        net[5].activation_post_process.alpha[...] = jnp.arange(4.0)
+        x = jax.random.normal(jax.random.key(0), (2, 8, 8, 3))
+        expected = net(x)
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, net, metadata={"epoch": 3, "best_acc1": 71.5})
+
+        fresh = prepare_binary_model(make_net(seed=9), bconfig=BC)
+        fresh.eval()
+        payload = load_checkpoint(path)
+        assert payload["metadata"]["epoch"] == 3
+        skipped = restore_into(fresh, payload)
+        assert skipped == []
+        np.testing.assert_array_equal(fresh(x), expected)
+
+    def test_best_copy(self, tmp_path):
+        net = make_net()
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, net, is_best=True)
+        assert os.path.isdir(path + ".best")
+
+    def test_non_strict_restore_skips_mismatches(self, tmp_path):
+        net = make_net()
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, net)
+        other = nn.Sequential(
+            nn.Conv2d(3, 16, 3, padding=1, rngs=nnx.Rngs(1)),
+            nn.BatchNorm2d(16, rngs=nnx.Rngs(1)),
+            nn.ReLU(),
+            nn.AdaptiveAvgPool2d(1),
+            nn.Flatten(),
+            nn.Linear(16, 7, rngs=nnx.Rngs(1)),  # different head size
+        )
+        payload = load_checkpoint(path)
+        skipped = restore_into(other, payload, strict=False)
+        assert any("5" in s for s in skipped)  # head not restored
+        np.testing.assert_array_equal(other[0].kernel[...],
+                                      net[0].kernel[...])
+
+
+class TestOpCounter:
+    def test_float_model_all_flops(self):
+        net = make_net()
+        ops = count_ops(net, (1, 8, 8, 3))
+        assert ops.bops == 0
+        conv_flops = 2 * 8 * 8 * 16 * 9 * 3
+        fc_flops = 2 * 16 * 4
+        assert ops.flops == conv_flops + fc_flops
+
+    def test_binary_model_split(self):
+        net = prepare_binary_model(make_net(), bconfig=BC,
+                                   ignore_layers_name=["_first_"])
+        ops = count_ops(net, (1, 8, 8, 3))
+        assert ops.flops == 2 * 8 * 8 * 16 * 9 * 3  # conv stays float
+        assert ops.bops == 2 * 16 * 4               # binarized fc
+        assert ops.effective_flops < ops.flops + ops.bops
+
+    def test_identity_config_counts_as_flops(self):
+        # swapped-but-Identity layers are float math
+        net = prepare_binary_model(make_net(), bconfig=BC,
+                                   custom_config_layers_name={"0": BConfig(),
+                                                              "5": BConfig()})
+        ops = count_ops(net, (1, 8, 8, 3))
+        assert ops.bops == 0
+
+    def test_deployed_model_counts_bops(self):
+        from bnn_tpu.inference import deploy
+        net = prepare_binary_model(make_net(), bconfig=BC,
+                                   ignore_layers_name=["_first_"])
+        dep = deploy(net, use_pallas=False)
+        ops = count_ops(dep, (1, 8, 8, 3))
+        assert ops.bops == 2 * 16 * 4
