@@ -24,6 +24,11 @@ from . import functional
 from . import nn
 from . import ops
 from . import layers
+from . import models
+from . import kernels
+from . import inference
+from . import parallel
+from . import utils
 
 __all__ = [
     "BConfig",
@@ -39,4 +44,9 @@ __all__ = [
     "nn",
     "ops",
     "layers",
+    "models",
+    "kernels",
+    "inference",
+    "parallel",
+    "utils",
 ]

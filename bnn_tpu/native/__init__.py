@@ -1,0 +1,120 @@
+"""ctypes bindings for the native host-side XNOR engine.
+
+Builds ``libxnor_cpu.so`` on first use (g++ with -O3 -march=native -fopenmp)
+and exposes numpy-facing wrappers. This is the CPU serving backend the
+reference only claims ("up to x64 CPU speed-up", reference README.md:22);
+the TPU path lives in :mod:`bnn_tpu.kernels`.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "xnor_cpu.cpp")
+_LIB_PATH = os.path.join(_HERE, "libxnor_cpu.so")
+_lock = threading.Lock()
+_lib = None
+
+__all__ = ["available", "pack_rows", "pack_weights", "gemm", "num_threads"]
+
+
+def _build() -> None:
+    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+           _SRC, "-o", _LIB_PATH]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) or \
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
+            _build()
+        lib = ctypes.CDLL(_LIB_PATH)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i64 = ctypes.c_int64
+        lib.bnn_pack_rows.argtypes = [f32p, u32p, i64, i64]
+        lib.bnn_pack_weights.argtypes = [f32p, u32p, i64, i64]
+        lib.bnn_gemm.argtypes = [u32p, u32p, f32p, i64, i64, i64, f32p, f32p]
+        lib.bnn_gemm_f32.argtypes = [f32p, u32p, f32p, u32p, i64, i64, i64,
+                                     f32p, f32p]
+        lib.bnn_num_threads.restype = ctypes.c_int
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def _u32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def _f32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def num_threads() -> int:
+    return _load().bnn_num_threads()
+
+
+def pack_rows(x: np.ndarray) -> np.ndarray:
+    """Pack sign bits of a row-major (M, K) float array into (M, Kw) uint32."""
+    lib = _load()
+    x = np.ascontiguousarray(x, np.float32)
+    m, k = x.shape
+    out = np.empty((m, (k + 31) // 32), np.uint32)
+    lib.bnn_pack_rows(_f32(x), _u32(out), m, k)
+    return out
+
+
+def pack_weights(w: np.ndarray) -> np.ndarray:
+    """Pack a (K, N) float weight matrix into (Kw, N) uint32 (framework
+    layout — interchangeable with :func:`bnn_tpu.kernels.pack_bits`)."""
+    lib = _load()
+    w = np.ascontiguousarray(w, np.float32)
+    k, n = w.shape
+    out = np.empty(((k + 31) // 32, n), np.uint32)
+    lib.bnn_pack_weights(_f32(w), _u32(out), k, n)
+    return out
+
+
+def gemm(x: np.ndarray, w_packed: np.ndarray, k: int,
+         scale: Optional[np.ndarray] = None,
+         add: Optional[np.ndarray] = None) -> np.ndarray:
+    """``sign(x) @ unpack(w_packed) * scale + add`` via XNOR+popcount.
+
+    ``x``: (M, K) float32 (packed internally); returns (M, N) float32.
+    """
+    lib = _load()
+    x = np.ascontiguousarray(x, np.float32)
+    w_packed = np.ascontiguousarray(w_packed, np.uint32)
+    m, k_in = x.shape
+    assert k_in == k
+    kw, n = w_packed.shape
+    assert kw == (k + 31) // 32
+    out = np.empty((m, n), np.float32)
+    scratch = np.empty((m, kw), np.uint32)
+    null_f32 = ctypes.cast(None, ctypes.POINTER(ctypes.c_float))
+    # keep contiguous copies alive for the duration of the call
+    scale_c = np.ascontiguousarray(scale, np.float32) if scale is not None else None
+    add_c = np.ascontiguousarray(add, np.float32) if add is not None else None
+    lib.bnn_gemm_f32(_f32(x), _u32(w_packed), _f32(out), _u32(scratch),
+                     m, k, n,
+                     _f32(scale_c) if scale_c is not None else null_f32,
+                     _f32(add_c) if add_c is not None else null_f32)
+    return out

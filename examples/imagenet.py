@@ -1,0 +1,232 @@
+"""ImageNet-style distributed recipe-driven QAT trainer.
+
+TPU-native counterpart of the reference's DDP trainer
+(reference: examples/imagenet.py). The reference's process topology
+(``mp.spawn`` + ``init_process_group`` + DDP + DistributedSampler,
+imagenet.py:120-187, 285-292) collapses on TPU to:
+
+- ``jax.distributed.initialize()`` for multi-host process groups,
+- one ``(data, model)`` Mesh over all devices,
+- ``shard_batch`` placing each host's local batch on its devices (the
+  DistributedSampler equivalent is per-host slicing of the dataset),
+- GSPMD inserting the gradient psum DDP does by hook.
+
+CLI flags mirror the reference's (arch/recipe/step/optimizer/scheduler/
+resume, imagenet.py:33-88). Data: a directory of ``{split}_xN.npy`` shards
+or synthetic stand-in (no dataset ships in this container).
+
+Usage (single host):
+    python examples/imagenet.py --recipe examples/recipes/imagenet-baseline.yaml \
+        --step 0 --epochs 90 --batch-size 256 --synthetic
+
+Multi-host: run the same command on every host with
+    --coordinator <host0-ip:port> --num-hosts N --host-id K
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from bnn_tpu import BinaryChef, models, nn
+from bnn_tpu.models.layers import PreBasicBlock
+from bnn_tpu.parallel import make_eval_step, make_mesh, make_train_step, \
+    shard_batch, shard_model
+from bnn_tpu.utils import (
+    AverageMeter,
+    ProgressMeter,
+    load_checkpoint,
+    restore_into,
+    save_checkpoint,
+)
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="bnn_tpu ImageNet QAT training")
+    p.add_argument("--data", default=None, help="dataset directory")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("-a", "--arch", default="resnet18",
+                   choices=["resnet18", "resnet34", "resnet50"])
+    p.add_argument("--stem-type", default="basic", choices=["basic", "dabnn"])
+    p.add_argument("--recipe", default="examples/recipes/imagenet-baseline.yaml")
+    p.add_argument("--step", type=int, default=0,
+                   help="recipe step to train (reference imagenet.py:154-156)")
+    p.add_argument("--epochs", type=int, default=90)
+    p.add_argument("-b", "--batch-size", type=int, default=256,
+                   help="global batch size across all devices")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "adam", "sgd"])
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--scheduler", default="cosine",
+                   choices=["cosine", "multistep"])
+    p.add_argument("--warmup-epochs", type=int, default=5)
+    p.add_argument("--milestones", type=int, nargs="*", default=[30, 60, 80])
+    p.add_argument("--resume", default=None)
+    p.add_argument("--out", default="./checkpoint/imagenet")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--print-freq", type=int, default=50)
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="size of the tensor-parallel mesh axis")
+    # multi-host rendezvous (replaces --dist-url/--dist-backend,
+    # reference imagenet.py:69-72)
+    p.add_argument("--coordinator", default=None, help="host0 ip:port")
+    p.add_argument("--num-hosts", type=int, default=1)
+    p.add_argument("--host-id", type=int, default=0)
+    return p.parse_args()
+
+
+def make_scheduler(args, steps_per_epoch):
+    warmup = optax.linear_schedule(0.0, args.lr,
+                                   args.warmup_epochs * steps_per_epoch)
+    if args.scheduler == "cosine":
+        main = optax.cosine_decay_schedule(
+            args.lr, max(1, (args.epochs - args.warmup_epochs) * steps_per_epoch))
+    else:
+        main = optax.piecewise_constant_schedule(
+            args.lr,
+            {m * steps_per_epoch: 0.1 for m in args.milestones},
+        )
+    return optax.join_schedules([warmup, main],
+                                [args.warmup_epochs * steps_per_epoch])
+
+
+def make_optimizer(args, schedule):
+    # weight decay zeroed for binarized steps > 0, like the reference
+    # (imagenet.py:192-204): decaying binary weights fights the binarizer
+    wd = args.weight_decay if args.step == 0 else 0.0
+    if args.optimizer == "adamw":
+        return optax.adamw(schedule, weight_decay=wd)
+    if args.optimizer == "adam":
+        return optax.adam(schedule)
+    return optax.sgd(schedule, momentum=0.9)
+
+
+def synthetic_batches(batch, steps, seed=0, size=224):
+    rng = np.random.default_rng(seed)
+    for _ in range(steps):
+        x = rng.normal(0, 1, (batch, size, size, 3)).astype(np.float32)
+        y = rng.integers(0, 1000, batch).astype(np.int32)
+        yield x, y
+
+
+def npy_batches(data_dir, split, batch, shuffle, seed=0):
+    xs = np.load(os.path.join(data_dir, f"{split}_x.npy"), mmap_mode="r")
+    ys = np.load(os.path.join(data_dir, f"{split}_y.npy"))
+    idx = np.arange(len(xs))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    for b in range(0, len(idx) - batch + 1, batch):
+        sel = np.sort(idx[b:b + batch])
+        yield np.asarray(xs[sel], np.float32), ys[sel].astype(np.int32)
+
+
+def main():
+    args = parse_args()
+
+    if args.num_hosts > 1:
+        # multi-host process group over DCN (replaces init_process_group,
+        # reference imagenet.py:139-147)
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_hosts,
+            process_id=args.host_id,
+        )
+    is_host0 = jax.process_index() == 0
+
+    mesh = make_mesh(model=args.model_parallel)
+    if is_host0:
+        print(f"==> mesh {dict(mesh.shape)} over {jax.device_count()} devices")
+
+    model_fn = getattr(models, args.arch)
+    model = model_fn(block_type=PreBasicBlock, activation=nn.PReLU,
+                     stem_type=args.stem_type, rngs=nnx.Rngs(args.seed))
+    chef = BinaryChef(args.recipe)
+    model = chef.run_step(model, args.step)
+    if is_host0:
+        print(f"==> {args.arch} binarized with step {args.step} of {args.recipe}")
+
+    steps_per_epoch = 256  # synthetic default; real data overrides below
+    if args.data and not args.synthetic:
+        n = len(np.load(os.path.join(args.data, "train_y.npy")))
+        steps_per_epoch = n // args.batch_size
+
+    schedule = make_scheduler(args, steps_per_epoch)
+    optimizer = nnx.Optimizer(model, make_optimizer(args, schedule),
+                              wrt=nnx.Param)
+    model.train()
+    shard_model(model, mesh)
+    shard_model(optimizer, mesh)
+
+    train_step = make_train_step()
+    eval_step = make_eval_step()
+
+    start_epoch, best_acc1 = 0, 0.0
+    if args.resume:
+        payload = load_checkpoint(args.resume)
+        skipped = restore_into(model, payload, strict=False)
+        if skipped and is_host0:
+            print(f"==> resume skipped {len(skipped)} mismatched entries")
+        meta = payload.get("metadata", {})
+        start_epoch = int(meta.get("epoch", 0))
+        best_acc1 = float(meta.get("best_acc1", 0.0))
+        shard_model(model, mesh)
+
+    for epoch in range(start_epoch, args.epochs):
+        model.train()
+        losses = AverageMeter("Loss", ":.4e")
+        top1 = AverageMeter("Acc@1", ":6.2f")
+        batch_time = AverageMeter("Time", ":6.3f")
+        progress = ProgressMeter(steps_per_epoch, [batch_time, losses, top1],
+                                 prefix=f"Epoch[{epoch}]")
+        if args.data and not args.synthetic:
+            it = npy_batches(args.data, "train", args.batch_size, True,
+                             seed=args.seed + epoch)
+        else:
+            it = synthetic_batches(args.batch_size, steps_per_epoch,
+                                   seed=args.seed + epoch)
+        end = time.time()
+        for i, (xb, yb) in enumerate(it):
+            xb, yb = shard_batch((jnp.asarray(xb), jnp.asarray(yb)), mesh)
+            metrics = train_step(model, optimizer, xb, yb)
+            losses.update(float(metrics["loss"]), len(yb))
+            top1.update(float(metrics["top1"]) * 100.0, len(yb))
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if is_host0 and i % args.print_freq == 0:
+                progress.display(i)
+
+        # validate
+        model.eval()
+        tot = {"loss": 0.0, "top1": 0.0, "top5": 0.0, "count": 0.0}
+        if args.data and not args.synthetic:
+            val_it = npy_batches(args.data, "val", args.batch_size, False)
+        else:
+            val_it = synthetic_batches(args.batch_size, 8, seed=999)
+        for xb, yb in val_it:
+            xb, yb = shard_batch((jnp.asarray(xb), jnp.asarray(yb)), mesh)
+            m = eval_step(model, xb, yb)
+            for k in tot:
+                tot[k] += float(m[k])
+        acc1 = 100.0 * tot["top1"] / tot["count"]
+        acc5 = 100.0 * tot["top5"] / tot["count"]
+        if is_host0:
+            print(f" * Epoch {epoch}: Acc@1 {acc1:.3f} Acc@5 {acc5:.3f}")
+            is_best = acc1 > best_acc1
+            best_acc1 = max(acc1, best_acc1)
+            save_checkpoint(
+                args.out, model,
+                metadata={"epoch": epoch + 1, "arch": args.arch,
+                          "best_acc1": best_acc1, "step": args.step},
+                is_best=is_best)
+
+
+if __name__ == "__main__":
+    main()
