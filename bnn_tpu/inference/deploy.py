@@ -40,6 +40,7 @@ from jax import lax
 from .. import functional as F
 from .. import layers as blayers
 from ..binarize import named_modules, set_module_by_name
+from ..kernels.conv import binary_conv2d_s1, supports as _pallas_conv_supports
 from ..kernels.gemm import binary_gemm, binary_gemm_reference
 from ..kernels.packing import pack_bits, unpack_bits
 from ..ops.binarizers import (
@@ -188,13 +189,13 @@ class DeployedConv(nnx.Module):
         self.mode = mode
 
         self.weight_format = weight_format
-        if mode == "conv" and weight_format == "int8":
+        if mode in ("conv", "pallas-conv") and weight_format == "int8":
             # speed format: +/-1 int8 weights stored directly (8x smaller
             # than fp32; zero unpack work in the hot path)
             self.w_packed = nnx.Variable(
                 jnp.where(w_eff >= 0, 1, -1).astype(jnp.int8))
             self.k = w_eff.shape[-2]
-        elif mode == "conv":
+        elif mode in ("conv", "pallas-conv"):
             # max-compression format (32x): pack in the kernel's own
             # (*spatial, I, O) layout: unpacking is then a pure
             # bit-expansion with NO transpose in the hot path
@@ -227,7 +228,26 @@ class DeployedConv(nnx.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.mode in ("gemm", "im2col"):
             return self._call_im2col(x)
+        if self.mode == "pallas-conv":
+            return self._call_pallas_conv(x)
         return self._call_conv(x)
+
+    def _call_pallas_conv(self, x: jax.Array) -> jax.Array:
+        """Experimental fully-fused Pallas conv (stride-1 only); the XLA
+        int8 conv path (`_call_conv`) is faster in practice — XLA's int8
+        conv runs near the MXU int8 roofline — so this is opt-in."""
+        assert _pallas_conv_supports(self.kernel_size, self.stride,
+                                     self.padding, self.dilation, 1),             "pallas-conv mode supports stride-1 odd square kernels only"
+        if self.weight_format == "int8":
+            w = self.w_packed[...]
+        else:
+            w = unpack_bits(self.w_packed[...], self.k, axis=-2,
+                            dtype=jnp.int8)[..., : self.k, :]
+        y = binary_conv2d_s1(x, w, self.scale[...], self.add[...],
+                             interpret=self.interpret)
+        if self.spatial_post is not None:
+            y = self.spatial_post(y, x)
+        return y
 
     def _call_conv(self, x: jax.Array) -> jax.Array:
         # +/-1 int8 weights (unpacked in-graph from bit-packed storage, or

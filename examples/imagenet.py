@@ -73,6 +73,9 @@ def parse_args():
     p.add_argument("--out", default="./checkpoint/imagenet")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--print-freq", type=int, default=50)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--steps-per-epoch", type=int, default=None,
+                   help="override synthetic epoch length")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="size of the tensor-parallel mesh axis")
     # multi-host rendezvous (replaces --dist-url/--dist-backend,
@@ -153,7 +156,7 @@ def main():
     if is_host0:
         print(f"==> {args.arch} binarized with step {args.step} of {args.recipe}")
 
-    steps_per_epoch = 256  # synthetic default; real data overrides below
+    steps_per_epoch = args.steps_per_epoch or 256
     if args.data and not args.synthetic:
         n = len(np.load(os.path.join(args.data, "train_y.npy")))
         steps_per_epoch = n // args.batch_size
@@ -191,7 +194,8 @@ def main():
                              seed=args.seed + epoch)
         else:
             it = synthetic_batches(args.batch_size, steps_per_epoch,
-                                   seed=args.seed + epoch)
+                                   seed=args.seed + epoch,
+                                   size=args.image_size)
         end = time.time()
         for i, (xb, yb) in enumerate(it):
             xb, yb = shard_batch((jnp.asarray(xb), jnp.asarray(yb)), mesh)
@@ -209,7 +213,8 @@ def main():
         if args.data and not args.synthetic:
             val_it = npy_batches(args.data, "val", args.batch_size, False)
         else:
-            val_it = synthetic_batches(args.batch_size, 8, seed=999)
+            val_it = synthetic_batches(args.batch_size, 8, seed=999,
+                                       size=args.image_size)
         for xb, yb in val_it:
             xb, yb = shard_batch((jnp.asarray(xb), jnp.asarray(yb)), mesh)
             m = eval_step(model, xb, yb)

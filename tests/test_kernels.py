@@ -97,3 +97,45 @@ class TestPopcountGemm:
         ref = binary_gemm_reference(x, wp, k)
         pop = popcount_gemm_reference(x, wp, k)
         np.testing.assert_allclose(pop, ref, atol=1e-5)
+
+
+class TestFusedConv:
+    @pytest.mark.parametrize("h,c,o,k", [(8, 32, 16, 3), (8, 32, 16, 1),
+                                         (10, 64, 128, 5)])
+    def test_matches_xla_conv(self, h, c, o, k):
+        from bnn_tpu.kernels.conv import binary_conv2d_s1
+        from bnn_tpu import functional as F
+        x = jax.random.normal(jax.random.key(0), (2, h, h, c))
+        w = jnp.where(jax.random.normal(jax.random.key(1), (k, k, c, o)) >= 0,
+                      1, -1).astype(jnp.int8)
+        s = jnp.abs(jax.random.normal(jax.random.key(2), (o,)))
+        b = jax.random.normal(jax.random.key(3), (o,))
+        out = binary_conv2d_s1(x, w, s, b, interpret=True)
+        ref = F.conv(jnp.where(x >= 0, 1.0, -1.0), w.astype(jnp.float32),
+                     1, k // 2) * s + b
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+    def test_supports_predicate(self):
+        from bnn_tpu.kernels.conv import supports
+        assert supports((3, 3), (1, 1), (1, 1), (1, 1), 1)
+        assert not supports((3, 3), (2, 2), (1, 1), (1, 1), 1)
+        assert not supports((3, 3), (1, 1), (0, 0), (1, 1), 1)
+        assert not supports((2, 2), (1, 1), (1, 1), (1, 1), 1)
+
+
+class TestDeployedPallasConvMode:
+    def test_parity(self):
+        from flax import nnx
+        from bnn_tpu import BConfig, layers as blayers
+        from bnn_tpu.inference.deploy import DeployedConv
+        from bnn_tpu.ops import (BasicInputBinarizer, BasicScaleBinarizer,
+                                 XNORWeightBinarizer)
+        bc = BConfig(BasicInputBinarizer, BasicScaleBinarizer,
+                     XNORWeightBinarizer)
+        layer = blayers.Conv2d(32, 16, 3, padding=1, bconfig=bc,
+                               rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.key(5), (2, 8, 8, 32))
+        x = jnp.where(x == 0, 1e-3, x)
+        expected = layer(x)
+        dep = DeployedConv(layer, mode="pallas-conv", interpret=True)
+        np.testing.assert_allclose(dep(x), expected, rtol=1e-4, atol=1e-4)

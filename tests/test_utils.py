@@ -141,3 +141,44 @@ class TestOpCounter:
         dep = deploy(net, use_pallas=False)
         ops = count_ops(dep, (1, 8, 8, 3))
         assert ops.bops == 2 * 16 * 4
+
+
+class TestDeployedCheckpoint:
+    def test_deployed_model_round_trip(self, tmp_path):
+        """Packed uint32 weights survive Orbax save/restore (serving
+        checkpoint flow)."""
+        from bnn_tpu.inference import deploy
+        net = prepare_binary_model(make_net(), bconfig=BC,
+                                   ignore_layers_name=["_first_"])
+        net.eval()
+        dep = deploy(net, use_pallas=False)
+        x = jax.random.normal(jax.random.key(1), (2, 8, 8, 3))
+        x = jnp.where(x == 0, 1e-3, x)
+        expected = dep(x)
+        path = str(tmp_path / "served")
+        save_checkpoint(path, dep)
+
+        net2 = prepare_binary_model(make_net(seed=7), bconfig=BC,
+                                    ignore_layers_name=["_first_"])
+        net2.eval()
+        dep2 = deploy(net2, use_pallas=False)
+        restore_into(dep2, load_checkpoint(path))
+        np.testing.assert_array_equal(dep2(x), expected)
+
+    def test_train_deploy_restore_flow(self, tmp_path):
+        """QAT checkpoint -> fresh model -> restore -> deploy matches
+        deploying the original."""
+        from bnn_tpu.inference import deploy
+        net = prepare_binary_model(make_net(), bconfig=BC)
+        net.eval()
+        path = str(tmp_path / "qat")
+        save_checkpoint(path, net)
+        x = jax.random.normal(jax.random.key(2), (2, 8, 8, 3))
+        x = jnp.where(x == 0, 1e-3, x)
+        expected = deploy(net, use_pallas=False)(x)
+
+        fresh = prepare_binary_model(make_net(seed=3), bconfig=BC)
+        fresh.eval()
+        restore_into(fresh, load_checkpoint(path))
+        got = deploy(fresh, use_pallas=False)(x)
+        np.testing.assert_array_equal(got, expected)
