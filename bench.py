@@ -3,8 +3,8 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-value: images/s of the deployed binary ResNet-18 forward (int8-MXU execution
-with folded dequant epilogue) at batch 64, 224x224.
+value: images/s of the deployed binary ResNet-18 forward (int8-MXU binary
+convs, bf16 float path, folded dequant epilogues) at batch 64, 224x224.
 vs_baseline: speedup vs the reference's execution model — the QAT "fake"
 binary path (fp32 sign + alpha through XLA convs), which is how the
 reference framework executes binary nets (it ships no hardware execution
@@ -34,13 +34,14 @@ def main():
         BasicScaleBinarizer,
         XNORWeightBinarizer,
     )
+    from bnn_tpu.utils import cast_floats
     from bnn_tpu.utils.timing import loop_time
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
     on_tpu = dev.platform != "cpu"
-    batch, size, iters = (64, 224, 40) if on_tpu else (8, 64, 5)
-    rounds = 3 if on_tpu else 1
+    batch, size, iters = (64, 224, 30) if on_tpu else (8, 64, 5)
+    rounds = 2 if on_tpu else 1
 
     def build():
         m = models.resnet18(num_classes=1000, rngs=nnx.Rngs(0))
@@ -67,17 +68,22 @@ def main():
         f"[measured in {time.time()-t0:.0f}s] "
         f"weights {model_weight_bytes(qat_model)/1e6:.1f} MB")
 
+    x16 = x.astype(jnp.bfloat16)
     dep_i8 = deploy(build(), use_pallas=on_tpu, weight_format="int8")
+    cast_floats(dep_i8, jnp.bfloat16)
     gi, si = nnx.split(dep_i8)
-    t_i8 = loop_time(lambda v: nnx.merge(gi, si)(v), x, iters=iters, rounds=rounds)
-    log(f"deployed int8: {t_i8*1e3:.2f} ms/batch ({batch/t_i8:.0f} img/s) "
+    t_i8 = loop_time(lambda v: nnx.merge(gi, si)(v), x16, iters=iters,
+                     rounds=rounds)
+    log(f"deployed int8+bf16: {t_i8*1e3:.2f} ms/batch ({batch/t_i8:.0f} img/s) "
         f"weights {model_weight_bytes(dep_i8)/1e6:.1f} MB "
         f"speedup {t_qat/t_i8:.2f}x")
 
     dep_p = deploy(build(), use_pallas=on_tpu, weight_format="packed")
+    cast_floats(dep_p, jnp.bfloat16)
     gp, sp = nnx.split(dep_p)
-    t_p = loop_time(lambda v: nnx.merge(gp, sp)(v), x, iters=iters, rounds=rounds)
-    log(f"deployed packed: {t_p*1e3:.2f} ms/batch ({batch/t_p:.0f} img/s) "
+    t_p = loop_time(lambda v: nnx.merge(gp, sp)(v), x16, iters=iters,
+                    rounds=rounds)
+    log(f"deployed packed+bf16: {t_p*1e3:.2f} ms/batch ({batch/t_p:.0f} img/s) "
         f"weights {model_weight_bytes(dep_p)/1e6:.1f} MB "
         f"speedup {t_qat/t_p:.2f}x")
 

@@ -1,3 +1,4 @@
+from .optimize import fold_bn_after, fold_bn_before, optimize_deployed
 from .deploy import (
     DeployedConv,
     DeployedLinear,
@@ -7,6 +8,9 @@ from .deploy import (
 )
 
 __all__ = [
+    "optimize_deployed",
+    "fold_bn_after",
+    "fold_bn_before",
     "DeployedConv",
     "DeployedLinear",
     "deploy",

@@ -126,6 +126,7 @@ class DeployedLinear(nnx.Module):
         else:
             y = binary_gemm_reference(x2d, self.w_packed[...], self.k,
                                       self.scale[...], self.add[...])
+        y = y.astype(self.scale[...].dtype)
         y = y.reshape(lead + (self.out_features,))
         if self.spatial_post is not None:
             y = self.spatial_post(y, x)
@@ -212,6 +213,13 @@ class DeployedConv(nnx.Module):
         self.use_pallas = use_pallas
         self.interpret = interpret
         self.spatial_post = _spatial_post(layer.activation_post_process)
+        # optional per-in-channel sign threshold (set by the BN-before fold
+        # in inference.optimize); sign becomes (x >= threshold)
+        self.threshold = None
+
+    def _sign_in(self, x: jax.Array) -> jax.Array:
+        thr = self.threshold[...] if self.threshold is not None else 0.0
+        return jnp.where(x >= thr, 1, -1)
 
     def _is_pointwise(self) -> bool:
         nd = len(self.kernel_size)
@@ -243,7 +251,8 @@ class DeployedConv(nnx.Module):
         else:
             w = unpack_bits(self.w_packed[...], self.k, axis=-2,
                             dtype=jnp.int8)[..., : self.k, :]
-        y = binary_conv2d_s1(x, w, self.scale[...], self.add[...],
+        xin = x if self.threshold is None else x - self.threshold[...]
+        y = binary_conv2d_s1(xin, w, self.scale[...], self.add[...],
                              interpret=self.interpret)
         if self.spatial_post is not None:
             y = self.spatial_post(y, x)
@@ -261,10 +270,12 @@ class DeployedConv(nnx.Module):
             w = unpack_bits(self.w_packed[...], self.k, axis=-2,
                             dtype=jnp.int8)
             w = w[..., : self.k, :]  # drop I padding rows
-        xs = jnp.where(x >= 0, 1, -1).astype(jnp.int8)
+        xs = self._sign_in(x).astype(jnp.int8)
         y = F.conv(xs, w, self.stride, self.padding, self.dilation, 1,
                    preferred_element_type=jnp.int32)
-        y = y.astype(jnp.float32) * self.scale[...] + self.add[...]
+        # epilogue in the scale's dtype (f32 by default; bf16 after
+        # utils.cast_floats for a bandwidth-halved float path)
+        y = y.astype(self.scale[...].dtype) * self.scale[...] + self.add[...]
         if self.spatial_post is not None:
             y = self.spatial_post(y, x)
         return y
@@ -273,7 +284,7 @@ class DeployedConv(nnx.Module):
         nd = len(self.kernel_size)
         # sign BEFORE patch extraction so conv zero-padding contributes
         # exactly 0 (not sign(0)=+1) — matching conv(sign(x), ...) semantics
-        xs = jnp.where(x >= 0, 1.0, -1.0).astype(jnp.bfloat16)
+        xs = self._sign_in(x).astype(jnp.bfloat16)
         patches = lax.conv_general_dilated_patches(
             xs,
             filter_shape=self.kernel_size,
@@ -293,7 +304,7 @@ class DeployedConv(nnx.Module):
             y = binary_gemm_reference(p2d, self.w_packed[...], self.k,
                                       self.scale[...], self.add[...],
                                       sign_inputs=False)
-        y = y.reshape(lead + (self.out_channels,))
+        y = y.astype(self.scale[...].dtype).reshape(lead + (self.out_channels,))
         if self.spatial_post is not None:
             y = self.spatial_post(y, x)
         return y

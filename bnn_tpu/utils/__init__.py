@@ -1,6 +1,8 @@
 from .meters import AverageMeter, ProgressMeter, accuracy, count_parameters
 from .checkpoint import save_checkpoint, load_checkpoint, restore_into
 from .flops import OpCount, count_ops
+from .precision import cast_floats
+from .timing import loop_time
 
 __all__ = [
     "AverageMeter",
@@ -12,4 +14,6 @@ __all__ = [
     "restore_into",
     "OpCount",
     "count_ops",
+    "cast_floats",
+    "loop_time",
 ]

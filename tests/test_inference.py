@@ -167,3 +167,32 @@ class TestDeployModel:
         after = model_weight_bytes(dep)
         # binary layers dominate: overall compression should be large
         assert before / after > 10
+
+
+class TestMixedPrecision:
+    def test_bf16_deployed_parity(self):
+        from bnn_tpu.utils import cast_floats
+        model = TestDeployModel()._bin_model()
+        model.eval()
+        x = _rand_no_zeros(jax.random.key(20), (2, 8, 8, 3))
+        y_ref = model(x)
+        dep = deploy(model, use_pallas=False, weight_format="int8")
+        cast_floats(dep, jnp.bfloat16)
+        y16 = dep(x.astype(jnp.bfloat16))
+        assert y16.dtype == jnp.bfloat16
+        # Precision changes can flip the sign decision of near-zero pre-sign
+        # values; on a tiny model a single flip shifts a whole sample's
+        # logits by a discrete jump. Assert that most elements agree tightly
+        # (at ResNet-18 scale the measured relative error is ~4e-3).
+        diff = jnp.abs(y16.astype(jnp.float32) - y_ref)
+        close_frac = float(jnp.mean((diff < 1e-2).astype(jnp.float32)))
+        assert close_frac >= 0.5, (close_frac, np.asarray(diff))
+        assert bool(jnp.all(jnp.isfinite(y16.astype(jnp.float32))))
+
+    def test_packed_weights_not_cast(self):
+        from bnn_tpu.utils import cast_floats
+        layer = blayers.Linear(64, 16, bconfig=BCONFIG, rngs=nnx.Rngs(0))
+        dep = deploy(layer, use_pallas=False)
+        cast_floats(dep, jnp.bfloat16)
+        assert dep.w_packed[...].dtype == jnp.uint32
+        assert dep.scale[...].dtype == jnp.bfloat16
