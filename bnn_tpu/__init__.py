@@ -29,6 +29,7 @@ from . import kernels
 from . import inference
 from . import parallel
 from . import utils
+from . import data
 
 __all__ = [
     "BConfig",
@@ -49,4 +50,5 @@ __all__ = [
     "inference",
     "parallel",
     "utils",
+    "data",
 ]

@@ -2,6 +2,7 @@ from .meters import AverageMeter, ProgressMeter, accuracy, count_parameters
 from .checkpoint import save_checkpoint, load_checkpoint, restore_into
 from .flops import OpCount, count_ops
 from .precision import cast_floats
+from .profiling import compiled_stats, trace
 from .timing import loop_time
 
 __all__ = [
@@ -15,5 +16,7 @@ __all__ = [
     "OpCount",
     "count_ops",
     "cast_floats",
+    "compiled_stats",
+    "trace",
     "loop_time",
 ]

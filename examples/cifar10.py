@@ -73,17 +73,9 @@ def normalize(x):
 
 def augment(x, rng):
     """Random crop (pad 4) + horizontal flip, the reference's transforms
-    (examples/cifar10.py:36-44)."""
-    n = x.shape[0]
-    padded = np.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="reflect")
-    out = np.empty_like(x)
-    offs = rng.integers(0, 9, (n, 2))
-    flips = rng.random(n) < 0.5
-    for i in range(n):
-        oy, ox = offs[i]
-        img = padded[i, oy:oy + 32, ox:ox + 32]
-        out[i] = img[:, ::-1] if flips[i] else img
-    return out
+    (examples/cifar10.py:36-44) — vectorized."""
+    from bnn_tpu.data import augment_crop_flip
+    return augment_crop_flip(x, rng, pad=4)
 
 
 def main():

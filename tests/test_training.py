@@ -1,0 +1,105 @@
+"""End-to-end QAT learning tests: a binarized CNN must GENERALIZE on a
+separable synthetic task (held-out accuracy), not just memorize."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from bnn_tpu import BConfig, nn, prepare_binary_model
+from bnn_tpu.ops import BasicInputBinarizer, BasicScaleBinarizer, XNORWeightBinarizer
+from bnn_tpu.parallel import make_eval_step, make_train_step
+
+BC = BConfig(
+    activation_pre_process=BasicInputBinarizer.with_args(zero_to_one=True),
+    activation_post_process=BasicScaleBinarizer,
+    weight_pre_process=XNORWeightBinarizer,
+)
+
+
+def make_shapes_dataset(n, key, num_classes=4, size=16):
+    """Classify which quadrant holds a bright blob — linearly non-trivial
+    but easily learnable; generalization requires real feature learning."""
+    kc, kn, kp = jax.random.split(key, 3)
+    y = jax.random.randint(kc, (n,), 0, num_classes)
+    x = jax.random.normal(kn, (n, size, size, 3)) * 0.3
+    half = size // 2
+    cy = (y // 2) * half
+    cx = (y % 2) * half
+    offs = jax.random.randint(kp, (n, 2), 1, half - 4)
+    blob = jnp.ones((4, 4, 3)) * 2.0
+
+    def paint(img, oy, ox):
+        return jax.lax.dynamic_update_slice(img, blob, (oy, ox, 0))
+
+    x = jax.vmap(paint)(x, cy + offs[:, 0], cx + offs[:, 1])
+    return x, y
+
+
+def test_binary_cnn_generalizes():
+    rngs = nnx.Rngs(0)
+    model = nn.Sequential(
+        nn.Conv2d(3, 32, 3, padding=1, rngs=rngs),
+        nn.BatchNorm2d(32, rngs=rngs),
+        nn.PReLU(32, rngs=rngs),
+        nn.Conv2d(32, 32, 3, stride=2, padding=1, rngs=rngs),
+        nn.BatchNorm2d(32, rngs=rngs),
+        nn.PReLU(32, rngs=rngs),
+        nn.Conv2d(32, 64, 3, stride=2, padding=1, rngs=rngs),
+        nn.BatchNorm2d(64, rngs=rngs),
+        nn.PReLU(64, rngs=rngs),
+        nn.AdaptiveAvgPool2d(1),
+        nn.Flatten(),
+        nn.Linear(64, 4, rngs=rngs),
+    )
+    model = prepare_binary_model(model, bconfig=BC,
+                                 ignore_layers_name=["_first_", "_last_"])
+    model.train()
+    opt = nnx.Optimizer(model, optax.adam(3e-3), wrt=nnx.Param)
+    step = make_train_step()
+    evalstep = make_eval_step()
+
+    x_train, y_train = make_shapes_dataset(512, jax.random.key(1))
+    x_test, y_test = make_shapes_dataset(256, jax.random.key(2))
+
+    for epoch in range(16):
+        perm = jax.random.permutation(jax.random.key(10 + epoch), 512)
+        for b in range(0, 512, 128):
+            idx = perm[b:b + 128]
+            step(model, opt, x_train[idx], y_train[idx])
+
+    model.eval()
+    m = evalstep(model, x_test, y_test)
+    acc = float(m["top1"]) / float(m["count"])
+    assert acc > 0.85, f"held-out accuracy {acc:.2f} too low — QAT not learning"
+
+
+def test_deployed_model_preserves_accuracy():
+    """Deploying the trained binary model must not change its predictions."""
+    from bnn_tpu.inference import deploy
+
+    rngs = nnx.Rngs(3)
+    model = nn.Sequential(
+        nn.Conv2d(3, 32, 3, padding=1, rngs=rngs),
+        nn.BatchNorm2d(32, rngs=rngs),
+        nn.PReLU(32, rngs=rngs),
+        nn.AdaptiveAvgPool2d(1),
+        nn.Flatten(),
+        nn.Linear(32, 4, rngs=rngs),
+    )
+    model = prepare_binary_model(model, bconfig=BC,
+                                 ignore_layers_name=["_first_", "_last_"])
+    model.train()
+    opt = nnx.Optimizer(model, optax.adam(3e-3), wrt=nnx.Param)
+    step = make_train_step()
+    x_train, y_train = make_shapes_dataset(256, jax.random.key(4))
+    for _ in range(10):
+        step(model, opt, x_train, y_train)
+    model.eval()
+
+    x_test, y_test = make_shapes_dataset(128, jax.random.key(5))
+    preds_qat = jnp.argmax(model(x_test), -1)
+    dep = deploy(model, use_pallas=False)
+    preds_dep = jnp.argmax(dep(x_test), -1)
+    agreement = float(jnp.mean((preds_qat == preds_dep).astype(jnp.float32)))
+    assert agreement > 0.97, agreement
