@@ -260,3 +260,58 @@ class ModuleList(nnx.Module):
 
     def __iter__(self):
         return (getattr(self, str(i)) for i in range(self._num_layers))
+
+
+class MultiheadAttention(nnx.Module):
+    """Multi-head self/cross attention built from :class:`Linear` projections.
+
+    Exists to demonstrate (and test) that the binarization machinery is
+    architecture-agnostic: ``prepare_binary_model`` swaps the four
+    projections like any other ``Linear``, so attention models binarize with
+    the same BConfigs/recipes as CNNs (the reference is conv-only;
+    SURVEY.md §5.7 requires the abstraction not to preclude attention).
+
+    Input: channels-last ``(N, L, E)``; optional additive mask broadcastable
+    to ``(N, H, L, S)``.
+    """
+
+    def __init__(self, embed_dim: int, num_heads: int, bias: bool = True, *,
+                 rngs: nnx.Rngs):
+        assert embed_dim % num_heads == 0
+        self.embed_dim = embed_dim
+        self.num_heads = num_heads
+        self.head_dim = embed_dim // num_heads
+        self.q_proj = Linear(embed_dim, embed_dim, bias=bias, rngs=rngs)
+        self.k_proj = Linear(embed_dim, embed_dim, bias=bias, rngs=rngs)
+        self.v_proj = Linear(embed_dim, embed_dim, bias=bias, rngs=rngs)
+        self.out_proj = Linear(embed_dim, embed_dim, bias=bias, rngs=rngs)
+
+    def __call__(self, query: jax.Array, key: jax.Array = None,
+                 value: jax.Array = None, mask: jax.Array = None) -> jax.Array:
+        key = query if key is None else key
+        value = key if value is None else value
+        n, l, _ = query.shape
+        s = key.shape[1]
+        h, d = self.num_heads, self.head_dim
+
+        q = self.q_proj(query).reshape(n, l, h, d).transpose(0, 2, 1, 3)
+        k = self.k_proj(key).reshape(n, s, h, d).transpose(0, 2, 1, 3)
+        v = self.v_proj(value).reshape(n, s, h, d).transpose(0, 2, 1, 3)
+
+        logits = jnp.einsum("nhld,nhsd->nhls", q, k) / math.sqrt(d)
+        if mask is not None:
+            logits = logits + mask
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("nhls,nhsd->nhld", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(n, l, self.embed_dim)
+        return self.out_proj(out)
+
+
+class LayerNorm(nnx.LayerNorm):
+    """Channels-last layer norm with torch-style constructor."""
+
+    def __init__(self, normalized_shape: int, eps: float = 1e-5,
+                 elementwise_affine: bool = True, *, rngs: nnx.Rngs):
+        super().__init__(normalized_shape, epsilon=eps,
+                         use_bias=elementwise_affine,
+                         use_scale=elementwise_affine, rngs=rngs)

@@ -174,3 +174,65 @@ class TestBatsNetworks:
         assert num_binary > 0
         logits, _ = net(jnp.ones((1, 32, 32, 3)))
         assert logits.shape == (1, 10)
+
+
+class TestAttentionReadiness:
+    """The binarizer/transformation machinery must extend beyond CNNs
+    (SURVEY.md §5.7)."""
+
+    def test_mha_binarizes_and_runs(self):
+        rngs = nnx.Rngs(0)
+        block = nn.MultiheadAttention(64, 4, rngs=rngs)
+        block = prepare_binary_model(block, bconfig=BCONFIG)
+        from bnn_tpu import layers as bl
+        assert isinstance(block.q_proj, bl.Linear)
+        assert isinstance(block.out_proj, bl.Linear)
+        x = jax.random.normal(jax.random.key(1), (2, 10, 64))
+        out = block(x)
+        assert out.shape == (2, 10, 64)
+
+    def test_mha_ignore_out_proj(self):
+        rngs = nnx.Rngs(0)
+        block = nn.MultiheadAttention(32, 2, rngs=rngs)
+        block = prepare_binary_model(block, bconfig=BCONFIG,
+                                     ignore_layers_name=["$out_proj$"])
+        assert type(block.out_proj) is nn.Linear
+
+    def test_binary_transformer_block_trains(self):
+        import optax
+
+        class Block(nnx.Module):
+            def __init__(self, rngs):
+                self.ln1 = nn.LayerNorm(32, rngs=rngs)
+                self.attn = nn.MultiheadAttention(32, 4, rngs=rngs)
+                self.ln2 = nn.LayerNorm(32, rngs=rngs)
+                self.fc1 = nn.Linear(32, 64, rngs=rngs)
+                self.fc2 = nn.Linear(64, 32, rngs=rngs)
+                self.head = nn.Linear(32, 2, rngs=rngs)
+
+            def __call__(self, x):
+                x = x + self.attn(self.ln1(x))
+                h = self.fc2(jax.nn.gelu(self.fc1(self.ln2(x))))
+                x = x + h
+                return self.head(jnp.mean(x, axis=1))
+
+        model = prepare_binary_model(Block(nnx.Rngs(0)), bconfig=BCONFIG,
+                                     ignore_layers_name=["_last_"])
+        opt = nnx.Optimizer(model, optax.adam(1e-2), wrt=nnx.Param)
+        x = jax.random.normal(jax.random.key(2), (8, 6, 32))
+        y = jax.random.randint(jax.random.key(3), (8,), 0, 2)
+
+        @nnx.jit
+        def step(model, opt, x, y):
+            def loss_fn(m):
+                import optax as _o
+                return _o.softmax_cross_entropy_with_integer_labels(
+                    m(x), y).mean()
+            loss, grads = nnx.value_and_grad(loss_fn)(model)
+            opt.update(model, grads)
+            return loss
+
+        l0 = float(step(model, opt, x, y))
+        for _ in range(20):
+            l = float(step(model, opt, x, y))
+        assert l < l0
