@@ -20,7 +20,7 @@ import copy
 import dataclasses
 import logging
 import re
-from typing import Dict, Iterator, List, Optional, Tuple, Type
+from typing import Dict, Iterator, List, Optional, Tuple
 
 from flax import nnx
 

@@ -24,7 +24,7 @@ test/assets/test.yaml):
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, List
 
 import yaml
 from flax import nnx

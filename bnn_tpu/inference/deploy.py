@@ -29,8 +29,7 @@ baseline it replaces.
 """
 from __future__ import annotations
 
-import math
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ residual blocks.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 from flax import nnx

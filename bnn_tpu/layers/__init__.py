@@ -16,7 +16,7 @@ like the reference's tensor sharing (bnn/layers/conv.py:111-112).
 """
 from __future__ import annotations
 
-from typing import Union
+
 
 import jax
 from flax import nnx

@@ -7,7 +7,6 @@ binarizer-internal parameters (e.g. the learnable ``alpha`` of
 """
 from __future__ import annotations
 
-import dataclasses
 
 from flax import nnx
 

@@ -3,17 +3,10 @@
 Post-activation (``BasicBlock``/``Bottleneck``, torchvision-style) and
 pre-activation (``PreBasicBlock``/``PreBottleneck``, XNOR-Net BN→Conv→Act
 ordering) variants, mirroring reference bnn/models/layers/res_block.py.
-
-Bug fixed vs the reference: ``PreBottleneck.bn3`` is built with
-``planes * expansion`` channels — the reference builds it with ``width``
-(bnn/models/layers/res_block.py:200), which crashes for any
-``base_width != 64``... actually mis-normalizes the conv3 input; here the
-ordering BN(width)->conv3 is kept but with the correct channel count for the
-tensor it normalizes (conv2's output, ``width`` channels) — see inline note.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Type
+from typing import Callable, Optional
 
 import jax
 from flax import nnx

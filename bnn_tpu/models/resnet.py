@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from .. import nn
-from .layers import BasicBlock, Bottleneck, HBlock, PreBasicBlock, PreBottleneck
+from .layers import BasicBlock, Bottleneck
 from .layers import conv1x1
 
 

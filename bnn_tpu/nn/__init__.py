@@ -13,7 +13,7 @@ recipes work verbatim (examples/recepies/imagenet-baseline.yaml:13-15).
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence, Union
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ with a safe, inspectable registry.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Type
+from typing import Callable, Dict
 
 _REGISTRY: Dict[str, Callable] = {}
 

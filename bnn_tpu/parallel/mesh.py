@@ -17,7 +17,7 @@ from __future__ import annotations
 import re
 
 from flax import nnx
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np

@@ -163,3 +163,39 @@ class TestDeployedTensorParallel:
         assert packed
         assert any(x.sharding.spec[-1] == "model" for x in packed
                    if len(x.sharding.spec) > 0)
+
+
+class TestSTEUnderShardMap:
+    """SURVEY.md §7.4: custom_vjp STEs must compose with shard_map and
+    sharded reductions."""
+
+    def test_sign_ste_grad_under_shard_map(self):
+        from jax.experimental.shard_map import shard_map
+        from bnn_tpu.ops import sign_ste
+
+        mesh = make_mesh()
+        x = jax.random.normal(jax.random.key(0), (16, 8))
+
+        def local_loss(xs):
+            # per-shard partial sums psum'd across the data axis
+            return jax.lax.psum(jnp.sum(sign_ste(xs) * 2.0), "data")
+
+        smapped = shard_map(local_loss, mesh=mesh,
+                            in_specs=P("data", None), out_specs=P())
+        g_sharded = jax.grad(lambda v: smapped(v))(x)
+        g_single = jax.grad(lambda v: jnp.sum(sign_ste(v) * 2.0))(x)
+        np.testing.assert_allclose(np.asarray(g_sharded),
+                                   np.asarray(g_single), rtol=1e-6)
+
+    def test_xnor_alpha_reduction_under_tp(self):
+        """Per-out-channel alpha must be invariant to out-axis sharding."""
+        from bnn_tpu.ops import XNORWeightBinarizer
+        from jax.sharding import NamedSharding
+
+        mesh = make_mesh(data=4, model=2)
+        w = jax.random.normal(jax.random.key(1), (3, 3, 32, 64))
+        wq_single = XNORWeightBinarizer()(w)
+        w_tp = jax.device_put(w, NamedSharding(mesh, P(None, None, None, "model")))
+        wq_tp = jax.jit(lambda v: XNORWeightBinarizer()(v))(w_tp)
+        np.testing.assert_allclose(np.asarray(wq_tp), np.asarray(wq_single),
+                                   rtol=1e-6)
