@@ -29,19 +29,27 @@ def _logits_of(out):
 
 
 def make_train_step(loss_fn: Callable = _default_loss,
-                    aux_weight: float = 0.0) -> Callable:
+                    aux_weight: float = 0.0, remat: bool = False) -> Callable:
     """Build a jitted train step.
 
     Returns ``step(model, optimizer, x, y) -> metrics`` (metrics: ``loss``,
     ``top1``). ``model`` is mutated in place (params, BatchNorm stats, RNG
     streams); ``optimizer`` is an ``nnx.Optimizer``. Auxiliary-head models
     (BATS) add ``aux_weight * loss(aux_logits)`` like the reference trainer.
+
+    ``remat=True`` rematerializes the forward under ``nnx.remat``
+    (``jax.checkpoint``): activations are recomputed in the backward pass
+    instead of stored, trading ~30% more FLOPs for O(sqrt) activation
+    memory — the standard lever for fitting larger batches in HBM.
     """
 
     @nnx.jit
     def step(model, optimizer, x, y):
         def _loss(model):
-            out = model(x)
+            if remat:
+                out = nnx.remat(lambda m, v: m(v))(model, x)
+            else:
+                out = model(x)
             logits = _logits_of(out)
             loss = loss_fn(logits, y)
             if aux_weight and isinstance(out, tuple) and out[1] is not None:

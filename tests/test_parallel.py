@@ -199,3 +199,25 @@ class TestSTEUnderShardMap:
         wq_tp = jax.jit(lambda v: XNORWeightBinarizer()(v))(w_tp)
         np.testing.assert_allclose(np.asarray(wq_tp), np.asarray(wq_single),
                                    rtol=1e-6)
+
+
+def test_remat_train_step_matches_plain():
+    """Rematerialized training computes identical updates."""
+    x = jax.random.normal(jax.random.key(30), (8, 8, 8, 3))
+    y = jax.random.randint(jax.random.key(31), (8,), 0, 10)
+
+    def run(remat):
+        model = make_model()
+        model.train()
+        opt = nnx.Optimizer(model, optax.sgd(0.1), wrt=nnx.Param)
+        step = make_train_step(remat=remat)
+        m = step(model, opt, x, y)
+        return float(m["loss"]), jax.tree_util.tree_leaves(
+            nnx.state(model, nnx.Param))
+
+    l0, p0 = run(False)
+    l1, p1 = run(True)
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    for a, b in zip(p0, p1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
