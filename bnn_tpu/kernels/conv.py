@@ -43,26 +43,26 @@ def supports(kernel_size, stride, padding, dilation, groups) -> bool:
 
 def _kernel(x_ref, w_ref, scale_ref, add_ref, out_ref, *, kh: int, kw: int,
             pad: int):
-    x = x_ref[0]  # (H, W, C) float
+    x = x_ref[...]  # (NB, H, W, C) float — NB batch elements per grid step
     xs = jnp.where(x >= 0, 1, -1).astype(jnp.int8)
     if pad:
-        xs = jnp.pad(xs, ((pad, pad), (pad, pad), (0, 0)))
-    h, w_sp, _ = x.shape
+        xs = jnp.pad(xs, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    _, h, w_sp, _ = x.shape
     oh, ow = h, w_sp  # stride 1, SAME-style padding
 
     acc = None
     for dy in range(kh):
         for dx in range(kw):
-            slab = xs[dy:dy + oh, dx:dx + ow, :]
+            slab = xs[:, dy:dy + oh, dx:dx + ow, :]
             tap = w_ref[dy, dx]  # (C, O) int8
             contrib = lax.dot_general(
                 slab, tap,
-                dimension_numbers=(((2,), (0,)), ((), ())),
+                dimension_numbers=(((3,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
             acc = contrib if acc is None else acc + contrib
-    out_ref[0] = acc.astype(jnp.float32) * scale_ref[0][None, :] \
-        + add_ref[0][None, :]
+    out_ref[...] = acc.astype(jnp.float32) * scale_ref[0][None, None, :] \
+        + add_ref[0][None, None, :]
 
 
 def binary_conv2d_s1(
@@ -97,12 +97,21 @@ def binary_conv2d_s1(
         scale = jnp.pad(scale, (0, op_ - o))
         add = jnp.pad(add, (0, op_ - o))
 
-    grid = (n, op_ // bo)
+    # batch elements per grid step: grow the per-tap matmul M while keeping
+    # x + acc + out comfortably inside VMEM (~10 MB budget)
+    # per-element VMEM: x (f32) + signed copy (int8) + padded copy (int8)
+    # + int32 acc + f32 out block, with headroom for Mosaic's own buffers
+    per_elem = h * w_sp * (c * (x.dtype.itemsize + 2) + bo * 8)
+    nb = max(1, min(n, (4 << 20) // max(per_elem, 1)))
+    while n % nb:
+        nb -= 1
+
+    grid = (n // nb, op_ // bo)
     out = pl.pallas_call(
         functools.partial(_kernel, kh=kh, kw=kw, pad=pad),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, h, w_sp, c), lambda i, j: (i, 0, 0, 0),
+            pl.BlockSpec((nb, h, w_sp, c), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kh, kw, c, bo), lambda i, j: (0, 0, 0, j),
                          memory_space=pltpu.VMEM),
@@ -111,7 +120,7 @@ def binary_conv2d_s1(
             pl.BlockSpec((1, bo), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w_sp, bo), lambda i, j: (i, 0, 0, j),
+        out_specs=pl.BlockSpec((nb, h, w_sp, bo), lambda i, j: (i, 0, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w_sp, op_), jnp.float32),
         cost_estimate=pl.CostEstimate(
