@@ -1,3 +1,4 @@
+from .serving import Predictor
 from .optimize import fold_bn_after, fold_bn_before, optimize_deployed
 from .deploy import (
     DeployedConv,
@@ -8,6 +9,7 @@ from .deploy import (
 )
 
 __all__ = [
+    "Predictor",
     "optimize_deployed",
     "fold_bn_after",
     "fold_bn_before",

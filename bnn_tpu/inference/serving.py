@@ -1,0 +1,80 @@
+"""One-call serving wrapper.
+
+Packages the deployment pipeline into a single object:
+
+    predictor = Predictor.from_model(model)            # or .from_checkpoint
+    logits = predictor(images)
+
+Pipeline: deploy (bitpacked/int8 weights, folded epilogues) -> BN graph
+folds -> bf16 float path -> one jitted forward with fixed-batch padding (so
+every request hits the same compiled executable).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..utils.precision import cast_floats
+from .deploy import deploy
+from .optimize import optimize_deployed
+
+__all__ = ["Predictor"]
+
+
+class Predictor:
+    """Compiled inference endpoint for a (binarized) model."""
+
+    def __init__(self, model: nnx.Module, *, batch_size: int = 32,
+                 weight_format: str = "int8", dtype=jnp.bfloat16,
+                 use_pallas: bool = True, fold_bn: bool = True):
+        model.eval()
+        model = deploy(model, weight_format=weight_format,
+                       use_pallas=use_pallas)
+        if fold_bn:
+            optimize_deployed(model)
+        if dtype is not None:
+            cast_floats(model, dtype)
+        self.batch_size = batch_size
+        self.dtype = dtype or jnp.float32
+        self._graphdef, self._state = nnx.split(model)
+
+        @jax.jit
+        def _forward(state, x):
+            out = nnx.merge(self._graphdef, state)(x)
+            return out[0] if isinstance(out, tuple) else out
+
+        self._forward = _forward
+
+    @classmethod
+    def from_model(cls, model: nnx.Module, **kwargs) -> "Predictor":
+        return cls(model, **kwargs)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, model_fn: Callable[[], nnx.Module],
+                        **kwargs) -> "Predictor":
+        """Build the QAT model with ``model_fn``, restore the checkpoint,
+        then deploy."""
+        from ..utils.checkpoint import load_checkpoint, restore_into
+
+        model = model_fn()
+        restore_into(model, load_checkpoint(path))
+        return cls(model, **kwargs)
+
+    def __call__(self, x) -> jax.Array:
+        """Predict on ``(N, ...)`` input; N is padded up to ``batch_size``
+        multiples so every call reuses the same compiled program."""
+        x = jnp.asarray(x, self.dtype)
+        n = x.shape[0]
+        bs = self.batch_size
+        padded_n = -(-n // bs) * bs
+        if padded_n != n:
+            pad = [(0, padded_n - n)] + [(0, 0)] * (x.ndim - 1)
+            x = jnp.pad(x, pad)
+        outs = []
+        for i in range(0, padded_n, bs):
+            outs.append(self._forward(self._state, x[i:i + bs]))
+        out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+        return out[:n]

@@ -196,3 +196,43 @@ class TestMixedPrecision:
         cast_floats(dep, jnp.bfloat16)
         assert dep.w_packed[...].dtype == jnp.uint32
         assert dep.scale[...].dtype == jnp.bfloat16
+
+
+class TestPredictor:
+    def test_predictor_end_to_end(self, tmp_path):
+        from bnn_tpu.inference import Predictor
+        from bnn_tpu.utils import save_checkpoint
+
+        model = TestDeployModel()._bin_model()
+        model.eval()
+        x = _rand_no_zeros(jax.random.key(40), (5, 8, 8, 3))
+        ref_logits = model(x)
+        ref_preds = jnp.argmax(ref_logits, -1)
+
+        pred = Predictor.from_model(model, batch_size=4, use_pallas=False)
+        out = pred(np.asarray(x))
+        assert out.shape == (5, 10)  # padding stripped
+        agreement = float(jnp.mean(
+            (jnp.argmax(out, -1) == ref_preds).astype(jnp.float32)))
+        assert agreement >= 0.8
+
+    def test_predictor_from_checkpoint(self, tmp_path):
+        from bnn_tpu.inference import Predictor
+        from bnn_tpu.utils import save_checkpoint
+
+        def model_fn(seed=0):
+            return TestDeployModel()._bin_model()
+
+        model = model_fn()
+        model.eval()
+        path = str(tmp_path / "qat")
+        save_checkpoint(path, model)
+        pred = Predictor.from_checkpoint(path, model_fn, batch_size=8,
+                                         use_pallas=False, dtype=None,
+                                         fold_bn=False)
+        x = _rand_no_zeros(jax.random.key(41), (3, 8, 8, 3))
+        out = pred(np.asarray(x))
+        # with no dtype cast and no folds, predictions match the deployed
+        # model of the restored weights exactly
+        expected = deploy(model, use_pallas=False)(x)
+        np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)

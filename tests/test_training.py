@@ -103,3 +103,71 @@ def test_deployed_model_preserves_accuracy():
     preds_dep = jnp.argmax(dep(x_test), -1)
     agreement = float(jnp.mean((preds_qat == preds_dep).astype(jnp.float32)))
     assert agreement > 0.97, agreement
+
+
+def test_progressive_recipe_training_flow():
+    """The flagship workflow: train stage 1 (binary activations), advance the
+    recipe (binary weights, update=True), keep training — weights carry over,
+    binarizer alpha carries over, loss keeps improving."""
+    from bnn_tpu import BinaryChef
+
+    recipe = {
+        "step0": {
+            "pre_activation": {"name": "BasicInputBinarizer",
+                               "args": {"zero_to_one": True}},
+            "post_activation": {"name": "BasicScaleBinarizer"},
+            "weight": {"name": "Identity"},
+            "ignore_layer_names": ["_first_", "_last_"],
+        },
+        "step1": {
+            "pre_activation": {"name": "BasicInputBinarizer",
+                               "args": {"zero_to_one": True}},
+            "post_activation": {"name": "BasicScaleBinarizer"},
+            "weight": {"name": "XNORWeightBinarizer"},
+            "ignore_layer_names": ["_first_", "_last_"],
+        },
+    }
+    rngs = nnx.Rngs(0)
+    model = nn.Sequential(
+        nn.Conv2d(3, 32, 3, padding=1, rngs=rngs),
+        nn.BatchNorm2d(32, rngs=rngs),
+        nn.PReLU(32, rngs=rngs),
+        nn.Conv2d(32, 32, 3, stride=2, padding=1, rngs=rngs),
+        nn.BatchNorm2d(32, rngs=rngs),
+        nn.PReLU(32, rngs=rngs),
+        nn.AdaptiveAvgPool2d(1),
+        nn.Flatten(),
+        nn.Linear(32, 4, rngs=rngs),
+    )
+    chef = BinaryChef(recipe)
+    x, y = make_shapes_dataset(256, jax.random.key(7))
+
+    # stage 1
+    model = chef.next(model)
+    from bnn_tpu.ops import Identity as IdentityBinarizer
+    assert isinstance(model[3].weight_pre_process, IdentityBinarizer)
+    model.train()
+    opt = nnx.Optimizer(model, optax.adam(3e-3), wrt=nnx.Param)
+    step = make_train_step()
+    for _ in range(8):
+        m1 = step(model, opt, x, y)
+    stage1_loss = float(m1["loss"])
+    w_after_stage1 = np.asarray(model[3].kernel[...])
+    alpha_after_stage1 = np.asarray(model[3].activation_post_process.alpha[...])
+
+    # stage 2: re-wrap with binary weights; weights shared, alpha carried
+    model = chef.next(model, update=True)
+    assert isinstance(model[3].weight_pre_process, XNORWeightBinarizer)
+    np.testing.assert_array_equal(np.asarray(model[3].kernel[...]),
+                                  w_after_stage1)
+    np.testing.assert_array_equal(
+        np.asarray(model[3].activation_post_process.alpha[...]),
+        alpha_after_stage1)
+
+    model.train()
+    opt = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
+    for _ in range(12):
+        m2 = step(model, opt, x, y)
+    # stage-2 training continues to make progress from the stage-1 weights
+    assert float(m2["loss"]) < stage1_loss * 1.5
+    assert np.isfinite(float(m2["loss"]))
