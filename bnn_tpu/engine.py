@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, List
 
+import optax
 import yaml
 from flax import nnx
 
@@ -36,7 +37,11 @@ from .ops import registry
 __all__ = ["BinaryChef", "RecipeError"]
 
 _SLOT_KEYS = ("pre_activation", "post_activation", "weight")
-_KNOWN_STEP_KEYS = set(_SLOT_KEYS) | {"ignore_layer_names"}
+_KNOWN_STEP_KEYS = set(_SLOT_KEYS) | {
+    "ignore_layer_names", "optimizer", "lr_schedule", "epochs",
+}
+_OPTIMIZERS = ("sgd", "adam", "adamw")
+_SCHEDULES = ("constant", "cosine", "multistep")
 
 
 class RecipeError(ValueError):
@@ -67,6 +72,88 @@ def _build_binarizer_factory(slot: str, spec: Any, step_name: str) -> Callable:
             )
         return cls.with_args(**args)
     return cls
+
+
+def _validate_optimizer_spec(spec: Any, step_name: str) -> Dict[str, Any]:
+    if not isinstance(spec, dict):
+        raise RecipeError(
+            f"{step_name}.optimizer: expected a mapping with a 'name' key, "
+            f"got {spec!r}"
+        )
+    spec = _normalize_keys(spec)
+    name = str(spec.get("name", "")).lower()
+    if name not in _OPTIMIZERS:
+        raise RecipeError(
+            f"{step_name}.optimizer.name: {spec.get('name')!r} is not one of "
+            f"{list(_OPTIMIZERS)}"
+        )
+    known = {"name", "lr", "weight_decay", "momentum", "nesterov",
+             "b1", "b2", "eps"}
+    unknown = set(spec) - known
+    if unknown:
+        raise RecipeError(
+            f"{step_name}.optimizer: unknown keys {sorted(unknown)}; allowed "
+            f"keys are {sorted(known)}"
+        )
+    spec["name"] = name
+    return spec
+
+
+def _validate_schedule_spec(spec: Any, step_name: str) -> Dict[str, Any]:
+    if not isinstance(spec, dict):
+        raise RecipeError(
+            f"{step_name}.lr_schedule: expected a mapping with a 'name' key, "
+            f"got {spec!r}"
+        )
+    spec = _normalize_keys(spec)
+    name = str(spec.get("name", "")).lower()
+    if name not in _SCHEDULES:
+        raise RecipeError(
+            f"{step_name}.lr_schedule.name: {spec.get('name')!r} is not one "
+            f"of {list(_SCHEDULES)}"
+        )
+    known = {"name", "milestones", "gamma", "warmup_epochs", "final_factor"}
+    unknown = set(spec) - known
+    if unknown:
+        raise RecipeError(
+            f"{step_name}.lr_schedule: unknown keys {sorted(unknown)}; "
+            f"allowed keys are {sorted(known)}"
+        )
+    if name == "multistep" and not isinstance(spec.get("milestones"), list):
+        raise RecipeError(
+            f"{step_name}.lr_schedule: 'multistep' requires a 'milestones' "
+            f"list (epoch indices)"
+        )
+    spec["name"] = name
+    return spec
+
+
+def _build_lr_schedule(base_lr: float, sched: Dict[str, Any], epochs: int,
+                       steps_per_epoch: int):
+    """Lower a schedule spec to an optax schedule over *optimizer steps*.
+
+    Mirrors the reference trainer's scheduler menu: MultiStepLR /
+    CosineAnnealingLR plus gradual warmup (examples/imagenet.py:206-216),
+    expressed as pure optax schedules (TPU-side: the lr is a traced scalar,
+    so one compiled train step serves the whole run).
+    """
+    name = sched.get("name", "constant")
+    warmup_steps = int(sched.get("warmup_epochs", 0)) * int(steps_per_epoch)
+    total = max(1, int(epochs) * int(steps_per_epoch) - warmup_steps)
+    if name == "cosine":
+        final = float(sched.get("final_factor", 0.0))
+        main = optax.cosine_decay_schedule(base_lr, total, alpha=final)
+    elif name == "multistep":
+        gamma = float(sched.get("gamma", 0.1))
+        bounds = {int(m) * steps_per_epoch: gamma
+                  for m in sched.get("milestones", [])}
+        main = optax.piecewise_constant_schedule(base_lr, bounds)
+    else:
+        main = optax.constant_schedule(base_lr)
+    if warmup_steps > 0:
+        warm = optax.linear_schedule(0.0, base_lr, warmup_steps)
+        return optax.join_schedules([warm, main], [warmup_steps])
+    return main
 
 
 class BinaryChef:
@@ -113,6 +200,12 @@ class BinaryChef:
                     raise RecipeError(f"step {i}: missing required section '{slot}'")
                 # build once to surface name/args problems eagerly
                 _build_binarizer_factory(slot, step_norm[slot], f"step {i}")
+            if "optimizer" in step_norm:
+                _validate_optimizer_spec(step_norm["optimizer"], f"step {i}")
+            if "lr_schedule" in step_norm:
+                _validate_schedule_spec(step_norm["lr_schedule"], f"step {i}")
+            if "epochs" in step_norm and int(step_norm["epochs"]) <= 0:
+                raise RecipeError(f"step {i}: epochs must be positive")
 
     def __len__(self) -> int:
         return len(self.config)
@@ -143,3 +236,65 @@ class BinaryChef:
     def next(self, model: nnx.Module, update: bool = False) -> nnx.Module:
         self.current_step += 1
         return self.run_step(model, self.current_step - 1, update=update)
+
+    # ------------------------------------------------------------------
+    # Per-step training settings (TPU-native extension: the reference keeps
+    # optimizer/scheduler choice in CLI flags, examples/imagenet.py:192-216;
+    # here a recipe can carry them per step so a multi-stage run is fully
+    # declarative).
+    # ------------------------------------------------------------------
+
+    def epochs(self, step: int) -> int:
+        """Declared epoch budget for ``step`` (0 if the recipe doesn't say)."""
+        return int(_normalize_keys(self.config[step]).get("epochs", 0))
+
+    def make_tx(self, step: int, steps_per_epoch: int = 1):
+        """Build the optax transform declared by ``step``'s ``optimizer`` /
+        ``lr_schedule`` sections.
+
+        The lr schedule is lowered over *optimizer steps* (epoch milestones ×
+        ``steps_per_epoch``). Unlike the reference — which silently zeroes
+        weight decay for every step after the first
+        (examples/imagenet.py:192-204) — the recipe states ``weight_decay``
+        explicitly per step; write ``weight_decay: 0`` in later steps to get
+        the reference behavior.
+        """
+        step_norm = _normalize_keys(self.config[step])
+        if "optimizer" not in step_norm:
+            raise RecipeError(
+                f"step {step} has no 'optimizer' section; add one to the "
+                f"recipe or construct the optax transform yourself"
+            )
+        spec = _validate_optimizer_spec(step_norm["optimizer"], f"step {step}")
+        lr = float(spec.get("lr", 1e-3))
+        epochs = self.epochs(step) or 1
+        sched = _validate_schedule_spec(
+            step_norm["lr_schedule"], f"step {step}"
+        ) if "lr_schedule" in step_norm else {"name": "constant"}
+        lr_fn = _build_lr_schedule(lr, sched, epochs, steps_per_epoch)
+
+        name = spec["name"]
+        wd = float(spec.get("weight_decay", 0.0))
+        if name == "sgd":
+            tx = optax.sgd(lr_fn, momentum=float(spec.get("momentum", 0.0)),
+                           nesterov=bool(spec.get("nesterov", False)))
+            if wd:
+                tx = optax.chain(optax.add_decayed_weights(wd), tx)
+        elif name == "adamw":
+            tx = optax.adamw(lr_fn, b1=float(spec.get("b1", 0.9)),
+                             b2=float(spec.get("b2", 0.999)),
+                             eps=float(spec.get("eps", 1e-8)),
+                             weight_decay=wd)
+        else:  # adam
+            tx = optax.adam(lr_fn, b1=float(spec.get("b1", 0.9)),
+                            b2=float(spec.get("b2", 0.999)),
+                            eps=float(spec.get("eps", 1e-8)))
+            if wd:
+                tx = optax.chain(optax.add_decayed_weights(wd), tx)
+        return tx
+
+    def make_optimizer(self, model: nnx.Module, step: int,
+                       steps_per_epoch: int = 1) -> nnx.Optimizer:
+        """``nnx.Optimizer`` over ``model``'s params per ``step``'s recipe."""
+        return nnx.Optimizer(model, self.make_tx(step, steps_per_epoch),
+                             wrt=nnx.Param)

@@ -36,6 +36,7 @@ import optax
 from flax import nnx
 
 from bnn_tpu import BinaryChef, models, nn
+from bnn_tpu.engine import RecipeError
 from bnn_tpu.models.layers import PreBasicBlock
 from bnn_tpu.parallel import make_eval_step, make_mesh, make_train_step, \
     shard_batch, shard_model
@@ -161,9 +162,17 @@ def main():
         n = len(np.load(os.path.join(args.data, "train_y.npy")))
         steps_per_epoch = n // args.batch_size
 
-    schedule = make_scheduler(args, steps_per_epoch)
-    optimizer = nnx.Optimizer(model, make_optimizer(args, schedule),
-                              wrt=nnx.Param)
+    # a recipe step may declare its own optimizer/lr_schedule/epochs (fully
+    # declarative multi-stage runs); CLI flags are the fallback
+    try:
+        tx = chef.make_tx(args.step, steps_per_epoch)
+        if chef.epochs(args.step):
+            args.epochs = chef.epochs(args.step)
+        if is_host0:
+            print(f"==> optimizer from recipe step {args.step}")
+    except RecipeError:
+        tx = make_optimizer(args, make_scheduler(args, steps_per_epoch))
+    optimizer = nnx.Optimizer(model, tx, wrt=nnx.Param)
     model.train()
     shard_model(model, mesh)
     shard_model(optimizer, mesh)

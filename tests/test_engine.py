@@ -147,3 +147,90 @@ class TestShippedRecipes:
         for _ in range(len(chef)):
             model = chef.next(model)
         assert isinstance(model[3], blayers.Conv2d)
+
+
+class TestRecipeOptimizer:
+    """Per-step optimizer/schedule sections (TPU-native extension)."""
+
+    RECIPE = {
+        "step0": {
+            "pre_activation": {"name": "BasicInputBinarizer"},
+            "post_activation": {"name": "Identity"},
+            "weight": {"name": "Identity"},
+            "epochs": 4,
+            "optimizer": {"name": "adam", "lr": 1e-2, "weight_decay": 1e-5},
+            "lr_schedule": {"name": "cosine", "warmup_epochs": 1},
+        },
+        "step1": {
+            "pre_activation": {"name": "BasicInputBinarizer"},
+            "post_activation": {"name": "Identity"},
+            "weight": {"name": "XNORWeightBinarizer"},
+            "epochs": 2,
+            "optimizer": {"name": "sgd", "lr": 0.1, "momentum": 0.9},
+            "lr_schedule": {"name": "multistep", "milestones": [1],
+                            "gamma": 0.1},
+        },
+    }
+
+    def test_epochs_accessor(self):
+        chef = BinaryChef(self.RECIPE)
+        assert chef.epochs(0) == 4
+        assert chef.epochs(1) == 2
+
+    def test_schedule_values(self):
+        chef = BinaryChef(self.RECIPE)
+        # cosine with 1 warmup epoch over 4 epochs x 10 steps
+        tx_unused = chef.make_tx(0, steps_per_epoch=10)
+        from bnn_tpu.engine import (_build_lr_schedule,
+                                    _validate_schedule_spec)
+        sched = _build_lr_schedule(
+            1e-2, {"name": "cosine", "warmup_epochs": 1}, 4, 10)
+        assert float(sched(0)) == 0.0
+        np.testing.assert_allclose(float(sched(10)), 1e-2, rtol=1e-5)
+        assert float(sched(39)) < 1e-3  # decayed near the end
+        # multistep drops by gamma at milestone*steps_per_epoch
+        sched2 = _build_lr_schedule(
+            0.1, {"name": "multistep", "milestones": [1], "gamma": 0.1}, 2, 10)
+        np.testing.assert_allclose(float(sched2(5)), 0.1, rtol=1e-6)
+        np.testing.assert_allclose(float(sched2(15)), 0.01, rtol=1e-6)
+
+    def test_make_optimizer_trains(self):
+        import optax  # noqa: F401
+        chef = BinaryChef(self.RECIPE)
+        model = chef.run_step(make_net(), 0)
+        model.train()
+        opt = chef.make_optimizer(model, 0, steps_per_epoch=2)
+        from bnn_tpu.parallel import make_train_step
+        import jax
+        step = make_train_step()
+        x = jax.random.normal(jax.random.key(0), (8, 8, 8, 3))
+        y = jnp.zeros((8,), jnp.int32)
+        first = step(model, opt, x, y)
+        for _ in range(7):
+            m = step(model, opt, x, y)
+        assert float(m["loss"]) < float(first["loss"])
+
+    def test_optimizer_validation(self):
+        bad = {k: dict(v) for k, v in self.RECIPE.items()}
+        bad["step0"] = dict(bad["step0"], optimizer={"name": "lamb", "lr": 1})
+        with pytest.raises(RecipeError, match="lamb"):
+            BinaryChef(bad)
+        bad["step0"] = dict(self.RECIPE["step0"],
+                            optimizer={"name": "sgd", "lr": 0.1,
+                                       "momentom": 0.9})
+        with pytest.raises(RecipeError, match="momentom"):
+            BinaryChef(bad)
+        bad["step0"] = dict(self.RECIPE["step0"],
+                            lr_schedule={"name": "multistep"})
+        with pytest.raises(RecipeError, match="milestones"):
+            BinaryChef(bad)
+
+    def test_missing_optimizer_section_is_loud(self):
+        recipe = {"step0": {
+            "pre_activation": {"name": "BasicInputBinarizer"},
+            "post_activation": {"name": "Identity"},
+            "weight": {"name": "Identity"},
+        }}
+        chef = BinaryChef(recipe)
+        with pytest.raises(RecipeError, match="optimizer"):
+            chef.make_tx(0)
