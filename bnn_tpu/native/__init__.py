@@ -118,3 +118,102 @@ def gemm(x: np.ndarray, w_packed: np.ndarray, k: int,
                      _f32(scale_c) if scale_c is not None else null_f32,
                      _f32(add_c) if add_c is not None else null_f32)
     return out
+
+
+# ----------------------------------------------------------------------
+# Native data-loader stage (dataloader.cpp): gather + augment + normalize
+# a batch in one GIL-free OpenMP call — the torch-DataLoader-worker
+# equivalent (reference examples/imagenet.py:279-297).
+# ----------------------------------------------------------------------
+
+_DL_SRC = os.path.join(_HERE, "dataloader.cpp")
+_DL_LIB_PATH = os.path.join(_HERE, "libbnndata.so")
+_dl_lib = None
+
+
+def _load_dl():
+    global _dl_lib
+    with _lock:
+        if _dl_lib is not None:
+            return _dl_lib
+        if not os.path.exists(_DL_LIB_PATH) or \
+                os.path.getmtime(_DL_LIB_PATH) < os.path.getmtime(_DL_SRC):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                 "-fPIC", _DL_SRC, "-o", _DL_LIB_PATH],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_DL_LIB_PATH)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i64 = ctypes.c_int64
+        lib.bnn_load_batch.argtypes = [
+            u8p, i64, i64, i64,       # images, H, W, C
+            i64p, i64,                # indices, batch
+            i32p, f32p, i32p,         # labels, out_x, out_y
+            f32p, f32p,               # scale, bias
+            i64, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+        ]
+        lib.bnn_loader_num_threads.restype = ctypes.c_int
+        _dl_lib = lib
+        return lib
+
+
+def loader_available() -> bool:
+    try:
+        _load_dl()
+        return True
+    except Exception:
+        return False
+
+
+def load_batch(images: np.ndarray, indices: np.ndarray,
+               labels: Optional[np.ndarray],
+               scale: np.ndarray, bias: np.ndarray, *,
+               pad: int = 0, pad_mode: str = "zeros", flip: bool = False,
+               seed: int = 0,
+               out_x: Optional[np.ndarray] = None,
+               out_y: Optional[np.ndarray] = None):
+    """Assemble one normalized float32 batch from a uint8 NHWC store.
+
+    ``out = u8[idx] * scale[c] + bias[c]`` per channel, after an optional
+    padded random crop (``pad`` > 0) and random horizontal flip. Each
+    sample's augmentation randomness depends only on ``(seed, index)``.
+    Returns ``(out_x, out_y)``; pass preallocated arrays to avoid
+    per-batch allocation.
+    """
+    lib = _load_dl()
+    assert images.dtype == np.uint8 and images.ndim == 4, \
+        "images must be (N, H, W, C) uint8"
+    assert images.flags.c_contiguous
+    n, h, w, c = images.shape
+    indices = np.ascontiguousarray(indices, np.int64)
+    batch = indices.shape[0]
+    if out_x is None:
+        out_x = np.empty((batch, h, w, c), np.float32)
+    if labels is not None:
+        labels = np.ascontiguousarray(labels, np.int32)
+        if out_y is None:
+            out_y = np.empty((batch,), np.int32)
+    scale = np.ascontiguousarray(scale, np.float32)
+    bias = np.ascontiguousarray(bias, np.float32)
+    assert scale.shape == (c,) and bias.shape == (c,)
+    u8p = images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    i64p = indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    null_i32 = ctypes.cast(None, ctypes.POINTER(ctypes.c_int32))
+    lib.bnn_load_batch(
+        u8p, h, w, c, i64p, batch,
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        if labels is not None else null_i32,
+        _f32(out_x),
+        out_y.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        if out_y is not None else null_i32,
+        _f32(scale), _f32(bias),
+        pad, {"zeros": 0, "reflect": 1}[pad_mode], int(flip), seed,
+    )
+    return out_x, out_y
+
+
+def loader_num_threads() -> int:
+    return _load_dl().bnn_loader_num_threads()

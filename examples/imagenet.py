@@ -36,6 +36,7 @@ import optax
 from flax import nnx
 
 from bnn_tpu import BinaryChef, models, nn
+from bnn_tpu.data import NativeDataLoader, prefetch_to_device
 from bnn_tpu.engine import RecipeError
 from bnn_tpu.models.layers import PreBasicBlock
 from bnn_tpu.parallel import make_eval_step, make_mesh, make_train_step, \
@@ -59,7 +60,9 @@ def parse_args():
     p.add_argument("--recipe", default="examples/recipes/imagenet-baseline.yaml")
     p.add_argument("--step", type=int, default=0,
                    help="recipe step to train (reference imagenet.py:154-156)")
-    p.add_argument("--epochs", type=int, default=90)
+    p.add_argument("--epochs", type=int, default=None,
+                   help="epoch budget (default: the recipe step's 'epochs' "
+                        "if declared, else 90)")
     p.add_argument("-b", "--batch-size", type=int, default=256,
                    help="global batch size across all devices")
     p.add_argument("--lr", type=float, default=1e-3)
@@ -158,16 +161,31 @@ def main():
         print(f"==> {args.arch} binarized with step {args.step} of {args.recipe}")
 
     steps_per_epoch = args.steps_per_epoch or 256
+    train_loader = val_loader = None
     if args.data and not args.synthetic:
-        n = len(np.load(os.path.join(args.data, "train_y.npy")))
-        steps_per_epoch = n // args.batch_size
+        xs = np.load(os.path.join(args.data, "train_x.npy"), mmap_mode="r")
+        ys = np.load(os.path.join(args.data, "train_y.npy"))
+        steps_per_epoch = len(ys) // args.batch_size
+        if xs.dtype == np.uint8:
+            # native multi-core loader with torchvision-style train
+            # transforms; each host takes a disjoint shard per epoch
+            train_loader = NativeDataLoader(
+                xs, ys, args.batch_size,
+                mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+                pad=4, flip=True, seed=args.seed)
+            steps_per_epoch = len(train_loader)
+            vxs = np.load(os.path.join(args.data, "val_x.npy"), mmap_mode="r")
+            vys = np.load(os.path.join(args.data, "val_y.npy"))
+            val_loader = NativeDataLoader(
+                vxs, vys, args.batch_size, shuffle=False,
+                mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225))
 
     # a recipe step may declare its own optimizer/lr_schedule/epochs (fully
     # declarative multi-stage runs); CLI flags are the fallback
+    if args.epochs is None:
+        args.epochs = chef.epochs(args.step) or 90
     try:
         tx = chef.make_tx(args.step, steps_per_epoch)
-        if chef.epochs(args.step):
-            args.epochs = chef.epochs(args.step)
         if is_host0:
             print(f"==> optimizer from recipe step {args.step}")
     except RecipeError:
@@ -198,7 +216,12 @@ def main():
         batch_time = AverageMeter("Time", ":6.3f")
         progress = ProgressMeter(steps_per_epoch, [batch_time, losses, top1],
                                  prefix=f"Epoch[{epoch}]")
-        if args.data and not args.synthetic:
+        if train_loader is not None:
+            # native loader: per-epoch reshuffle + OpenMP batch assembly,
+            # overlapped with device compute by the prefetcher
+            train_loader.set_epoch(epoch)
+            it = prefetch_to_device(iter(train_loader), mesh=mesh)
+        elif args.data and not args.synthetic:
             it = npy_batches(args.data, "train", args.batch_size, True,
                              seed=args.seed + epoch)
         else:
@@ -207,7 +230,8 @@ def main():
                                    size=args.image_size)
         end = time.time()
         for i, (xb, yb) in enumerate(it):
-            xb, yb = shard_batch((jnp.asarray(xb), jnp.asarray(yb)), mesh)
+            if train_loader is None:
+                xb, yb = shard_batch((jnp.asarray(xb), jnp.asarray(yb)), mesh)
             metrics = train_step(model, optimizer, xb, yb)
             losses.update(float(metrics["loss"]), len(yb))
             top1.update(float(metrics["top1"]) * 100.0, len(yb))
@@ -219,13 +243,16 @@ def main():
         # validate
         model.eval()
         tot = {"loss": 0.0, "top1": 0.0, "top5": 0.0, "count": 0.0}
-        if args.data and not args.synthetic:
+        if val_loader is not None:
+            val_it = prefetch_to_device(iter(val_loader), mesh=mesh)
+        elif args.data and not args.synthetic:
             val_it = npy_batches(args.data, "val", args.batch_size, False)
         else:
             val_it = synthetic_batches(args.batch_size, 8, seed=999,
                                        size=args.image_size)
         for xb, yb in val_it:
-            xb, yb = shard_batch((jnp.asarray(xb), jnp.asarray(yb)), mesh)
+            if val_loader is None:
+                xb, yb = shard_batch((jnp.asarray(xb), jnp.asarray(yb)), mesh)
             m = eval_step(model, xb, yb)
             for k in tot:
                 tot[k] += float(m[k])

@@ -30,3 +30,24 @@ def test_imagenet_two_steps(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "mesh" in out
     assert "Acc@1" in out
+
+
+def test_imagenet_with_native_loader(tmp_path, monkeypatch, capsys):
+    """--data path with a uint8 store exercises NativeDataLoader +
+    prefetch_to_device end to end."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    data.mkdir()
+    np.save(data / "train_x.npy",
+            rng.integers(0, 256, (64, 32, 32, 3)).astype(np.uint8))
+    np.save(data / "train_y.npy", rng.integers(0, 10, 64).astype(np.int64))
+    np.save(data / "val_x.npy",
+            rng.integers(0, 256, (32, 32, 32, 3)).astype(np.uint8))
+    np.save(data / "val_y.npy", rng.integers(0, 10, 32).astype(np.int64))
+    _run("examples/imagenet.py",
+         ["--data", str(data), "--epochs", "1", "--batch-size", "16",
+          "--step", "0", "--image-size", "32", "--print-freq", "1",
+          "--out", str(tmp_path / "inet")], monkeypatch)
+    out = capsys.readouterr().out
+    assert "Acc@1" in out
