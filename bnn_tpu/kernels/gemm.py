@@ -16,11 +16,13 @@ The inference hot path. Two executions of the same math:
 - :func:`binary_gemm_reference` — pure-jnp reference used for testing and as
   a CPU fallback.
 
-- :func:`popcount_gemm_reference` — the classical XNOR/popcount formulation
-  (``dot = K - 2 * popcount(a XOR w)``) over packed activations AND packed
-  weights, via ``lax.population_count`` on the VPU. On TPU the MXU path above
-  is faster for compute-bound shapes; the popcount form is kept as the
-  bandwidth-optimal variant and correctness oracle.
+- :func:`popcount_gemm` — the classical XNOR/popcount formulation
+  (``dot = K - 2 * popcount(a XOR w)``) as a Pallas kernel over packed
+  activations AND packed weights (both stream from HBM at 1 bit/element).
+  Compute runs on the VPU: measured ~29-51 TOP/s-equivalent on v5e vs ~96+
+  for the MXU path, so this is the bandwidth-optimal variant for HBM-bound
+  shapes, not the default. :func:`popcount_gemm_reference` is the jnp
+  oracle for both.
 
 Math contract (matches the QAT fake path, reference bnn/layers/linear.py:22-27):
     ``out = sign(x) @ (alpha_w * sign(W)) * alpha_post + bias * alpha_post``
@@ -41,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .packing import pack_bits, packed_words, unpack_bits
 
-__all__ = ["binary_gemm", "binary_gemm_reference", "popcount_gemm_reference"]
+__all__ = ["binary_gemm", "binary_gemm_reference", "popcount_gemm",
+           "popcount_gemm_reference"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -182,6 +185,115 @@ def binary_gemm_reference(
     if add is not None:
         out = out + add
     return out
+
+
+def _popcount_gemm_kernel(xp_ref, wp_ref, scale_ref, add_ref, out_ref,
+                          acc_ref, *, k_true: int):
+    k_idx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xp = xp_ref[...]  # (bkw, bm) uint32 packed activations, word-major
+    wp = wp_ref[...]  # (bkw, bn) uint32 packed weights
+    # mismatch counts: popcount(x XOR w) summed over the word axis (axis 0 —
+    # the word axis sits on sublanes so both operands meet Mosaic's
+    # (8, 128)-tile rule). Padding words are 0 in BOTH operands, so they
+    # contribute 0 mismatches and the true-K constant below needs no
+    # correction.
+    x3 = xp[:, :, None] ^ wp[:, None, :]
+    acc_ref[...] += jnp.sum(lax.population_count(x3).astype(jnp.int32),
+                            axis=0)
+
+    @pl.when(k_idx == nk - 1)
+    def _epilogue():
+        dot = k_true - 2 * acc_ref[...]
+        out_ref[...] = (dot.astype(jnp.float32) * scale_ref[...]
+                        + add_ref[...])
+
+
+def popcount_gemm(
+    x_packed: jax.Array,
+    w_packed: jax.Array,
+    k: int,
+    scale: Optional[jax.Array] = None,
+    add: Optional[jax.Array] = None,
+    *,
+    block_m: int = 256,
+    block_n: int = 256,
+    block_kw: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """XNOR/popcount GEMM over packed activations AND packed weights.
+
+    ``out = (k - 2 * popcount(x_packed XOR w_packed)) * scale + add`` — the
+    classical BNN formulation, as a Pallas TPU kernel. Both operands stream
+    from HBM at 1 bit/element (activations 32x smaller than f32, 16x smaller
+    than bf16), so this is the bandwidth-optimal execution; compute runs on
+    the VPU (xor + population_count), which peaks well below the MXU's int8
+    rate, so :func:`binary_gemm` remains the default for compute-bound
+    shapes (ROADMAP item 5). Use this variant when the GEMM is HBM-bound:
+    very large K with small M, serving regimes where activations must stay
+    packed between layers, or ICI-sharded layers where the collective moves
+    packed lanes.
+
+    Args:
+        x_packed: ``(M, ceil(K/32))`` uint32 — :func:`pack_bits` of the
+            signed activations along the last axis.
+        w_packed: ``(ceil(K/32), N)`` uint32 packed weights.
+        k: true reduction length K.
+        scale/add: per-out-channel epilogue, as in :func:`binary_gemm`.
+    """
+    m, kw_in = x_packed.shape
+    kw, n = w_packed.shape
+    assert kw == packed_words(k), (kw, k)
+    assert kw_in == kw, (kw_in, kw)
+    scale = jnp.ones((n,), jnp.float32) if scale is None else scale
+    add = jnp.zeros((n,), jnp.float32) if add is None else add
+
+    bm = min(block_m, _round_up(m, 128))
+    bn = min(block_n, _round_up(n, 128))
+    bkw = min(block_kw, _round_up(kw, 8))
+
+    mp, np_, kwp = _round_up(m, bm), _round_up(n, bn), _round_up(kw, bkw)
+    # word-major activations: the packed word axis lands on sublanes
+    xq = jnp.swapaxes(x_packed, 0, 1)  # (kw, m) — 1/32 of the f32 bytes
+    if mp != m or kwp != kw:
+        xq = jnp.pad(xq, ((0, kwp - kw), (0, mp - m)))
+    wq = w_packed
+    if kwp != kw or np_ != n:
+        wq = jnp.pad(w_packed, ((0, kwp - kw), (0, np_ - n)))
+    sq = jnp.pad(scale.astype(jnp.float32), (0, np_ - n)).reshape(1, np_)
+    aq = jnp.pad(add.astype(jnp.float32), (0, np_ - n)).reshape(1, np_)
+
+    grid = (mp // bm, np_ // bn, kwp // bkw)
+    out = pl.pallas_call(
+        functools.partial(_popcount_gemm_kernel, k_true=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bkw, bm), lambda i, j, kk: (kk, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkw, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kwp,  # xor+popcount per word pair
+            bytes_accessed=mp * kwp * 4 + kwp * np_ * 4 + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, wq, sq, aq)
+    return out[:m, :n]
 
 
 def popcount_gemm_reference(

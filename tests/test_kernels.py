@@ -139,3 +139,47 @@ class TestDeployedPallasConvMode:
         expected = layer(x)
         dep = DeployedConv(layer, mode="pallas-conv", interpret=True)
         np.testing.assert_allclose(dep(x), expected, rtol=1e-4, atol=1e-4)
+
+
+class TestPopcountGemm:
+    """Pallas packed-activation XNOR/popcount GEMM vs references."""
+
+    def _case(self, m, k, n, seed):
+        kx, kw_ = jax.random.split(jax.random.key(seed))
+        x = jax.random.normal(kx, (m, k))
+        w = jnp.where(jax.random.normal(kw_, (k, n)) >= 0, 1.0, -1.0)
+        return x, w
+
+    @pytest.mark.parametrize("m,k,n", [(8, 64, 16), (17, 100, 33),
+                                       (64, 512, 128), (5, 33, 7)])
+    def test_matches_references(self, m, k, n):
+        from bnn_tpu.kernels import (binary_gemm_reference, pack_bits,
+                                     popcount_gemm, popcount_gemm_reference)
+        x, w = self._case(m, k, n, 0)
+        wp = pack_bits(w, axis=-2)
+        xs = jnp.where(x >= 0, 1.0, -1.0)
+        xp = pack_bits(xs, axis=-1)
+        scale = jnp.linspace(0.5, 2.0, n)
+        add = jnp.linspace(-1.0, 1.0, n)
+        want = binary_gemm_reference(x, wp, k, scale, add)
+        ref = popcount_gemm_reference(xs, wp, k, scale, add)
+        got = popcount_gemm(xp, wp, k, scale, add, interpret=True)
+        np.testing.assert_allclose(ref, want, atol=1e-4)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_block_tiling_boundaries(self):
+        from bnn_tpu.kernels import (binary_gemm_reference, pack_bits,
+                                     popcount_gemm)
+        x, w = self._case(40, 300, 72, 3)
+        wp = pack_bits(w, axis=-2)
+        xp = pack_bits(jnp.where(x >= 0, 1.0, -1.0), axis=-1)
+        want = binary_gemm_reference(x, wp, 300)
+        got = popcount_gemm(xp, wp, 300, block_m=16, block_n=64, block_kw=8,
+                            interpret=True)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_activation_hbm_bytes_are_32x_smaller(self):
+        from bnn_tpu.kernels import pack_bits
+        x = jnp.ones((128, 1024), jnp.float32)
+        xp = pack_bits(x, axis=-1)
+        assert xp.size * xp.dtype.itemsize * 32 == x.size * x.dtype.itemsize
