@@ -4,8 +4,12 @@ from .flops import OpCount, count_ops
 from .precision import cast_floats
 from .profiling import compiled_stats, trace
 from .timing import loop_time
+from .debug import assert_finite, checkify_errors, debug_nans
 
 __all__ = [
+    "assert_finite",
+    "checkify_errors",
+    "debug_nans",
     "AverageMeter",
     "ProgressMeter",
     "accuracy",

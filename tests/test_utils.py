@@ -182,3 +182,38 @@ class TestDeployedCheckpoint:
         restore_into(fresh, load_checkpoint(path))
         got = deploy(fresh, use_pallas=False)(x)
         np.testing.assert_array_equal(got, expected)
+
+
+class TestDebugHelpers:
+    """Numeric sanitizers (SURVEY.md §5.2 equivalents)."""
+
+    def test_debug_nans_raises_on_nan(self):
+        from bnn_tpu.utils import debug_nans
+        import pytest
+        with pytest.raises(FloatingPointError):
+            with debug_nans():
+                jnp.log(jnp.zeros(4)) * 0.0 / 0.0  # 0/0 -> NaN
+        # config restored
+        assert not jax.config.jax_debug_nans
+
+    def test_checkify_errors_raises_inside_jit(self):
+        from bnn_tpu.utils import checkify_errors
+        import pytest
+
+        @jax.jit
+        def f(x):
+            return jnp.sqrt(x)  # NaN for negative input
+
+        g = checkify_errors(f)
+        np.testing.assert_allclose(g(jnp.array([4.0])), [2.0])
+        with pytest.raises(Exception, match="nan"):
+            g(jnp.array([-1.0]))
+
+    def test_assert_finite_names_the_bad_leaf(self):
+        from bnn_tpu.utils import assert_finite
+        import pytest
+        good = {"a": jnp.ones(3), "b": {"c": jnp.zeros(2)}}
+        assert_finite(good)  # no raise
+        bad = {"a": jnp.ones(3), "b": {"c": jnp.array([1.0, jnp.nan])}}
+        with pytest.raises(ValueError, match="c"):
+            assert_finite(bad, name="grads")
