@@ -1,4 +1,5 @@
 from .serving import Predictor
+from .megablock import FusedBlock, default_fuse_predicate, fuse_blocks
 from .optimize import fold_bn_after, fold_bn_before, optimize_deployed
 from .deploy import (
     DeployedConv,
@@ -10,6 +11,9 @@ from .deploy import (
 
 __all__ = [
     "Predictor",
+    "FusedBlock",
+    "default_fuse_predicate",
+    "fuse_blocks",
     "optimize_deployed",
     "fold_bn_after",
     "fold_bn_before",

@@ -19,9 +19,14 @@ convs, float layers) is left untouched — the deployed model is always a
 drop-in for the QAT model.
 
 Numerics: identical to the QAT fake path computed in f32 (verified to 1e-7
-on CPU), except ``sign(0) == +1`` (QAT's default keeps torch's
-``sign(0) == 0`` — train with ``BasicInputBinarizer(zero_to_one=True)`` for
-bit-identical QAT/deploy, important after ReLU). On TPU at default matmul
+on CPU), INCLUDING ``sign(0)``: each deployed layer reads its QAT
+binarizer's ``zero_to_one`` flag and reproduces it exactly. The torch-parity
+default (``sign(0) == 0``) makes activations effectively ternary
+``{-1, 0, +1}`` — systematic after ReLU, which emits exact zeros in ~half
+its outputs — and the int8 compute paths represent that 0 exactly at no
+cost. (Only packed-ACTIVATION kernels like ``kernels.popcount_gemm``, which
+are not used by these modules, require strictly-binary ``zero_to_one=True``
+training.) On TPU at default matmul
 precision the QAT path itself truncates ``alpha * sign(W)`` to bf16
 (~3e-3/layer); the deployed path does the exact ±1 integer dot and applies
 ``alpha`` in f32 afterwards, so it is strictly MORE accurate than the QAT
@@ -98,6 +103,19 @@ def _spatial_post(post):
     return post if isinstance(post, XNORScaleBinarizer) else None
 
 
+def _zero_to_one(layer) -> bool:
+    """The QAT input binarizer's sign(0) convention (False = torch parity)."""
+    return bool(getattr(layer.activation_pre_process, "zero_to_one", False))
+
+
+def _sign(x, thr, zero_to_one: bool):
+    """``sign(x - thr)`` with the layer's sign(0) convention; weak-typed
+    ``{-1, 0, +1}`` (0 only when ``zero_to_one=False``), exact in int8."""
+    if zero_to_one:
+        return jnp.where(x >= thr, 1, -1)
+    return jnp.where(x > thr, 1, jnp.where(x < thr, -1, 0))
+
+
 class DeployedLinear(nnx.Module):
     """Bitpacked dense layer executing via the fused binary GEMM."""
 
@@ -114,17 +132,25 @@ class DeployedLinear(nnx.Module):
         self.use_pallas = use_pallas
         self.interpret = interpret
         self.spatial_post = _spatial_post(layer.activation_post_process)
+        self.zero_to_one = _zero_to_one(layer)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         lead = x.shape[:-1]
         x2d = x.reshape(-1, x.shape[-1])
+        # zero_to_one=True signs inside the kernel (free); torch-parity
+        # sign(0)=0 pre-signs to ternary int-exact values (kernels consume
+        # {-1, 0, +1} exactly with sign_inputs=False)
+        if not self.zero_to_one:
+            x2d = _sign(x2d, 0.0, False).astype(x2d.dtype)
+        si = self.zero_to_one
         if self.use_pallas:
             y = binary_gemm(x2d, self.w_packed[...], self.k,
                             self.scale[...], self.add[...],
-                            interpret=self.interpret)
+                            sign_inputs=si, interpret=self.interpret)
         else:
             y = binary_gemm_reference(x2d, self.w_packed[...], self.k,
-                                      self.scale[...], self.add[...])
+                                      self.scale[...], self.add[...],
+                                      sign_inputs=si)
         y = y.astype(self.scale[...].dtype)
         y = y.reshape(lead + (self.out_features,))
         if self.spatial_post is not None:
@@ -213,12 +239,13 @@ class DeployedConv(nnx.Module):
         self.interpret = interpret
         self.spatial_post = _spatial_post(layer.activation_post_process)
         # optional per-in-channel sign threshold (set by the BN-before fold
-        # in inference.optimize); sign becomes (x >= threshold)
+        # in inference.optimize); sign becomes sign(x - threshold)
         self.threshold = None
+        self.zero_to_one = _zero_to_one(layer)
 
     def _sign_in(self, x: jax.Array) -> jax.Array:
         thr = self.threshold[...] if self.threshold is not None else 0.0
-        return jnp.where(x >= thr, 1, -1)
+        return _sign(x, thr, self.zero_to_one)
 
     def _is_pointwise(self) -> bool:
         nd = len(self.kernel_size)

@@ -1,0 +1,203 @@
+"""Whole-block fusion pass for small-batch serving.
+
+Replaces deployed post-activation ``BasicBlock``s (stride 1, identity
+shortcut) with :class:`FusedBlock`, which executes the ENTIRE block —
+sign -> conv1 -> epilogue -> act -> sign -> conv2 -> epilogue -> residual
+-> act — as one Pallas megakernel (:func:`bnn_tpu.kernels.block.
+fused_basic_block`) with the feature map resident in VMEM.
+
+Where it wins (measured on v5e, PReLU binary ResNet-18): SMALL batch.
+At B=1, fusing every eligible block cuts whole-model latency 398us ->
+285us (1.4x; the QAT fake-quant graph runs 205us, so fusion recovers most
+of the deployed path's B=1 regression). Two effects stack:
+
+1. Isolated kernel-vs-ops wins at the shape extremes, where XLA's convs
+   underfill the MXU: 1.3x at 56x56x64, 3.6x at 7x7x512 (XLA drops to
+   ~10 TOP/s at M=49). At 28x28x128 / 14x14x256 the kernel's ~8-10us
+   floor LOSES to XLA's 4-5us in isolation.
+2. An in-context "boundary tax": chaining deployed stages inflates them
+   well beyond their isolated times (layer3+layer4 run 2x their isolated
+   sum; XLA loses VMEM pinning / prefetch quality as the graph grows).
+   Every fused block removes ~8 op boundaries, so fusing ALL eligible
+   blocks beats the isolated-win-region-only policy end to end
+   (285us vs 359us) — hence ``fuse_when=None`` (always fuse under the
+   batch cap) is the default.
+
+At batch >= ~8 XLA runs the unfused sequence at 120-330 TOP/s — near the
+int8 roofline and above the megakernel's ~50-110 TOP/s (its in-VMEM patch
+assembly costs more than the saved HBM round trips) — so the batch cap
+keeps large batches on the original ops. TPU programs are statically
+scheduled: there is no per-op launch overhead to save; fusion here is
+purely an HBM-traffic / MXU-shape / scheduling play.
+
+:class:`FusedBlock` dispatches at trace time on the actual input shape:
+the megakernel runs iff ``batch <= max_fused_batch`` AND ``fuse_when(n,
+h, w, c)`` holds. :func:`default_fuse_predicate` (the isolated win
+region) remains available for deployments that fuse selectively. Both
+paths read the same underlying weight arrays.
+
+Run :func:`~bnn_tpu.inference.optimize.optimize_deployed` first (or let
+:func:`fuse_blocks` call the per-block BN folds itself) so the BNs are
+already folded into the conv epilogues.
+
+The reference framework has no runtime at all (reference README.md:22);
+this pass is part of the execution layer it explicitly lacks.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import nnx
+
+from .. import functional as F
+from .. import nn
+from ..binarize import named_modules, set_module_by_name
+from ..kernels.block import fused_basic_block
+from ..kernels.packing import unpack_bits
+from ..models.layers import BasicBlock
+from .deploy import DeployedConv
+from .optimize import fold_bn_after
+
+__all__ = ["fuse_blocks", "FusedBlock", "default_fuse_predicate"]
+
+
+def default_fuse_predicate(n: int, h: int, w: int, c: int) -> bool:
+    """v5e-measured region where the megakernel beats XLA's ops IN ISOLATION.
+
+    At B<=4 the kernel wins at the channel extremes (C<=64: wide spatial,
+    XLA conv ~35 TOP/s; C>=512: M=h*w too small for XLA's tiling, ~10
+    TOP/s) and loses in the middle where XLA already runs at 90-105 TOP/s
+    against the kernel's ~8-10us fixed floor. NOTE: end to end, fusing
+    everything (``fuse_when=None``, the default) measured FASTER than this
+    selective policy — whole-graph boundary effects outweigh the isolated
+    losses (see module docstring). Use this (or a
+    `utils.timing.loop_time` sweep on the target chip) only when fusing
+    selectively.
+    """
+    return c <= 64 or c >= 512
+
+
+def _act_kind(m) -> tuple:
+    """(kind, slope_or_None) for a block activation module."""
+    if isinstance(m, nn.ReLU):
+        return "relu", None
+    if isinstance(m, nn.PReLU):
+        return "prelu", m.weight
+    if isinstance(m, nn.Identity):
+        return "identity", None
+    return None, None
+
+
+def _fusable_conv(conv) -> bool:
+    return (
+        isinstance(conv, DeployedConv)
+        and conv.mode == "conv"
+        and tuple(conv.kernel_size) == (3, 3)
+        and tuple(F._ntuple(conv.stride, 2)) == (1, 1)
+        and tuple(F._ntuple(conv.dilation, 2)) == (1, 1)
+        and not isinstance(conv.padding, str)
+        and tuple(F._ntuple(conv.padding, 2)) == (1, 1)
+        and conv.in_channels == conv.out_channels
+        and conv.spatial_post is None
+    )
+
+
+class FusedBlock(nnx.Module):
+    """Megakernel execution of a deployed post-activation BasicBlock.
+
+    Holds the original block (same weight arrays — no duplication) for the
+    large-batch path and for checkpoint round-trips.
+    """
+
+    def __init__(self, block: BasicBlock, *, max_fused_batch: int = 4,
+                 fuse_when=None,
+                 taps_per_dot: int = 9, interpret: bool = False):
+        self.block = block
+        self.max_fused_batch = max_fused_batch
+        self.fuse_when = fuse_when or (lambda n, h, w, c: True)
+        self.taps_per_dot = taps_per_dot
+        self.interpret = interpret
+
+    def _conv_weight_int8(self, conv: DeployedConv):
+        w = conv.w_packed[...]
+        if conv.weight_format != "int8":
+            w = unpack_bits(w, conv.k, axis=-2, dtype=jnp.int8)
+            w = w[..., : conv.k, :]
+        return w
+
+    def __call__(self, x):
+        b = self.block
+        if x.shape[0] > self.max_fused_batch or not self.fuse_when(*x.shape):
+            return b(x)
+        a1_kind, a1_slope = _act_kind(b.act1)
+        a2_kind, a2_slope = _act_kind(b.act2)
+        thr = (b.conv1.threshold[...]
+               if b.conv1.threshold is not None else None)
+        p1 = a1_slope[...] if a1_slope is not None else None
+        p2 = a2_slope[...] if a2_slope is not None else None
+        return fused_basic_block(
+            x,
+            self._conv_weight_int8(b.conv1),
+            self._conv_weight_int8(b.conv2),
+            b.conv1.scale[...], b.conv1.add[...],
+            b.conv2.scale[...], b.conv2.add[...],
+            act=(a1_kind, a2_kind), prelu1=p1, prelu2=p2,
+            threshold=thr,
+            zero_to_one=getattr(b.conv1, "zero_to_one", False),
+            out_dtype=x.dtype,
+            taps_per_dot=self.taps_per_dot, interpret=self.interpret,
+        )
+
+
+def _eligible(block) -> bool:
+    if not isinstance(block, BasicBlock) or block.downsample is not None:
+        return False
+    if not (_fusable_conv(block.conv1) and _fusable_conv(block.conv2)):
+        return False
+    if block.conv2.threshold is not None:
+        return False
+    if (getattr(block.conv1, "zero_to_one", False)
+            != getattr(block.conv2, "zero_to_one", False)):
+        return False  # kernel applies one sign(0) convention to both signs
+    a1, _ = _act_kind(block.act1)
+    a2, _ = _act_kind(block.act2)
+    if a1 is None or a2 is None:
+        return False
+    # BNs must be folded (Identity) — try folding them here if still present
+    for ci, bi in (("conv1", "bn1"), ("conv2", "bn2")):
+        bn = getattr(block, bi)
+        if isinstance(bn, nn.Identity):
+            continue
+        if isinstance(bn, nn.BatchNorm2d) and fold_bn_after(
+                getattr(block, ci), bn):
+            setattr(block, bi, nn.Identity())
+            continue
+        return False
+    return True
+
+
+def fuse_blocks(model: nnx.Module, *, max_fused_batch: int = 4,
+                fuse_when=None,
+                taps_per_dot: int = 9, interpret: bool = False) -> int:
+    """Replace eligible deployed BasicBlocks with FusedBlocks (in place).
+
+    Returns the number of blocks fused. Apply after
+    :func:`~bnn_tpu.inference.deploy` (+ ideally
+    :func:`~bnn_tpu.inference.optimize.optimize_deployed`). Whether the
+    megakernel actually runs is decided per trace by ``max_fused_batch``
+    and ``fuse_when`` (see :class:`FusedBlock`); the default ``None``
+    always fuses below the batch cap — measured fastest end to end.
+    """
+    fused = 0
+    wrapped = []  # don't descend into FusedBlocks (their .block stays live)
+    for name, m in list(named_modules(model)):
+        if isinstance(m, FusedBlock):
+            wrapped.append(name + ".")
+            continue
+        if any(name.startswith(p) for p in wrapped):
+            continue
+        if _eligible(m):
+            set_module_by_name(model, name, FusedBlock(
+                m, max_fused_batch=max_fused_batch, fuse_when=fuse_when,
+                taps_per_dot=taps_per_dot, interpret=interpret))
+            fused += 1
+    return fused

@@ -42,16 +42,23 @@ def loop_time(fn: Callable, x: jax.Array, *args, iters: int = 100,
     eps = jnp.asarray(0.0, x.dtype)
     n1 = max(iters // 5, 1)
     n2 = n1 + iters
-    if warmup:
-        float(jnp.sum(run(x, eps, n1)))  # compile + warm
+    # `run` is freshly jitted per loop_time call, so the first execution
+    # compiles — always absorb that here, NEVER inside a timed run (the
+    # `warmup` flag is kept for API compatibility but no longer optional).
+    del warmup
+    float(jnp.sum(run(x, eps, n1)))
 
-    best = float("inf")
-    for _ in range(max(rounds, 1)):
+    # Tunnel/dispatch latency is large AND noisy (tens of ms either way), so
+    # min-of-(t_long - t_short) is biased toward 0. Instead take the min of
+    # each run length separately — each min converges to (best-case rtt +
+    # true device time), so their difference cancels the rtt robustly — and
+    # interleave the two lengths so drift hits both equally.
+    t_short = t_long = float("inf")
+    for _ in range(max(rounds, 1) + 1):
         t0 = time.time()
         float(jnp.sum(run(x, eps, n1)))
-        t_short = time.time() - t0
+        t_short = min(t_short, time.time() - t0)
         t0 = time.time()
         float(jnp.sum(run(x, eps, n2)))
-        t_long = time.time() - t0
-        best = min(best, max(t_long - t_short, 1e-12) / (n2 - n1))
-    return best
+        t_long = min(t_long, time.time() - t0)
+    return max(t_long - t_short, 1e-12) / (n2 - n1)
