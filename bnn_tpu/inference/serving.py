@@ -19,7 +19,9 @@ from flax import nnx
 
 from ..utils.precision import cast_floats
 from .deploy import deploy
+from .megablock import fuse_blocks
 from .optimize import optimize_deployed
+from .stem import space_to_depth_stem
 
 __all__ = ["Predictor"]
 
@@ -29,12 +31,20 @@ class Predictor:
 
     def __init__(self, model: nnx.Module, *, batch_size: int = 32,
                  weight_format: str = "int8", dtype=jnp.bfloat16,
-                 use_pallas: bool = True, fold_bn: bool = True):
+                 use_pallas: bool = True, fold_bn: bool = True,
+                 space_to_depth: bool = True, fuse: Optional[bool] = None,
+                 max_fused_batch: int = 4):
         model.eval()
         model = deploy(model, weight_format=weight_format,
                        use_pallas=use_pallas)
         if fold_bn:
             optimize_deployed(model)
+        if space_to_depth:
+            space_to_depth_stem(model)
+        if fuse is None:  # megakernel is Pallas-TPU only, like use_pallas
+            fuse = use_pallas
+        if fuse:  # dispatches per traced batch; no-op above the cap
+            fuse_blocks(model, max_fused_batch=max_fused_batch)
         if dtype is not None:
             cast_floats(model, dtype)
         self.batch_size = batch_size

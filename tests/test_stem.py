@@ -1,0 +1,93 @@
+"""Space-to-depth stem rewrite: exactness and model-level parity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from bnn_tpu import models, nn
+from bnn_tpu.inference.stem import (
+    SpaceToDepthConv,
+    space_to_depth_stem,
+)
+
+
+@pytest.mark.parametrize(
+    "k,pad,cin,cout,h,w,bias",
+    [
+        (7, 3, 3, 64, 32, 32, False),   # the basic ResNet stem shape
+        (3, 1, 3, 16, 16, 20, False),   # the DaBNN stem first conv
+        (5, 2, 4, 8, 16, 16, True),
+        (2, 0, 3, 8, 16, 16, False),    # even kernel
+        (7, 2, 3, 8, 18, 18, True),     # even pad, kernel+pad parity mix
+        (1, 0, 6, 8, 8, 8, False),      # pointwise stride-2
+    ],
+)
+def test_s2d_conv_matches_direct(k, pad, cin, cout, h, w, bias):
+    rngs = nnx.Rngs(0)
+    conv = nn.Conv2d(cin, cout, k, stride=2, padding=pad, bias=bias,
+                     rngs=rngs)
+    x = jax.random.normal(jax.random.key(1), (2, h, w, cin))
+    ref = conv(x)
+    got = SpaceToDepthConv(conv)(x)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_odd_spatial_falls_back():
+    conv = nn.Conv2d(3, 8, 3, stride=2, padding=1, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.key(1), (1, 15, 15, 3))
+    np.testing.assert_allclose(SpaceToDepthConv(conv)(x), conv(x),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_rewrite_targets_only_small_cin_stride2():
+    rngs = nnx.Rngs(0)
+    net = nn.Sequential(
+        nn.Conv2d(3, 32, 7, stride=2, padding=3, bias=False, rngs=rngs),
+        nn.Conv2d(32, 32, 3, stride=2, padding=1, bias=False, rngs=rngs),
+        nn.Conv2d(32, 32, 3, stride=1, padding=1, bias=False, rngs=rngs),
+    )
+    assert space_to_depth_stem(net) == 1
+    assert isinstance(net[0], SpaceToDepthConv)
+    assert isinstance(net[1], nn.Conv2d)  # C_in too large
+    assert isinstance(net[2], nn.Conv2d)  # stride 1
+    assert space_to_depth_stem(net) == 0  # idempotent, no double-wrap
+
+
+def test_resnet18_stem_rewrite_parity():
+    model = models.resnet18(num_classes=10, rngs=nnx.Rngs(0))
+    model.eval()
+    x = jax.random.normal(jax.random.key(2), (2, 32, 32, 3))
+    ref = model(x)
+    assert space_to_depth_stem(model) == 1
+    out = model(x)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_dabnn_stem_rewrite_parity():
+    model = models.resnet18(num_classes=10, stem_type="dabnn",
+                            rngs=nnx.Rngs(0))
+    model.eval()
+    x = jax.random.normal(jax.random.key(3), (2, 32, 32, 3))
+    ref = model(x)
+    # both stride-2 small-C_in convs: conv1 (C_in=3) and conv2_2 (C_in=16)
+    assert space_to_depth_stem(model) == 2
+    np.testing.assert_allclose(model(x), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_grad_flows_through_s2d(tmp_path):
+    """The rewrite is trace-time only; grads still reach the shared kernel."""
+    conv = nn.Conv2d(3, 8, 7, stride=2, padding=3, bias=False,
+                     rngs=nnx.Rngs(0))
+    s2d = SpaceToDepthConv(conv)
+    x = jax.random.normal(jax.random.key(4), (1, 16, 16, 3))
+
+    def loss(m, x):
+        return jnp.sum(m(x) ** 2)
+
+    g_ref = nnx.grad(loss)(conv, x)
+    g_s2d = nnx.grad(loss)(s2d, x)
+    ref_leaf = jax.tree.leaves(g_ref)[0]
+    s2d_leaf = jax.tree.leaves(g_s2d)[0]
+    np.testing.assert_allclose(s2d_leaf, ref_leaf, rtol=1e-4, atol=1e-5)
