@@ -1,7 +1,7 @@
 from .serving import Predictor
 from .megablock import FusedBlock, default_fuse_predicate, fuse_blocks
 from .optimize import fold_bn_after, fold_bn_before, optimize_deployed
-from .stem import SpaceToDepthConv, space_to_depth_stem
+from .stem import FusedStem, SpaceToDepthConv, fuse_stem, space_to_depth_stem
 from .deploy import (
     DeployedConv,
     DeployedLinear,
@@ -12,6 +12,8 @@ from .deploy import (
 
 __all__ = [
     "Predictor",
+    "FusedStem",
+    "fuse_stem",
     "SpaceToDepthConv",
     "space_to_depth_stem",
     "FusedBlock",

@@ -21,7 +21,7 @@ from ..utils.precision import cast_floats
 from .deploy import deploy
 from .megablock import fuse_blocks
 from .optimize import optimize_deployed
-from .stem import space_to_depth_stem
+from .stem import fuse_stem, space_to_depth_stem
 
 __all__ = ["Predictor"]
 
@@ -41,9 +41,10 @@ class Predictor:
             optimize_deployed(model)
         if space_to_depth:
             space_to_depth_stem(model)
-        if fuse is None:  # megakernel is Pallas-TPU only, like use_pallas
+        if fuse is None:  # megakernels are Pallas-TPU only, like use_pallas
             fuse = use_pallas
-        if fuse:  # dispatches per traced batch; no-op above the cap
+        if fuse:  # both dispatch per traced batch; no-op above the caps
+            fuse_stem(model)
             fuse_blocks(model, max_fused_batch=max_fused_batch)
         if dtype is not None:
             cast_floats(model, dtype)

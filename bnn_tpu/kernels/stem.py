@@ -1,0 +1,232 @@
+"""Fused ResNet-stem megakernel (Pallas TPU): conv7x7/s2 + bias + ReLU + maxpool.
+
+The deployed binary ResNet's last large float stage is the stem:
+``conv7x7/s2(C_in=3) -> (folded BN) -> ReLU -> maxpool3x3/s2``. Measured on
+v5e at B=1 it costs ~120us — more than all the binary layers combined
+(~25us) — because every piece is hostile to XLA at small batch: the conv
+contracts over 3 of 128 lanes per tap (~2 TFLOP/s), ``reduce_window``
+schedules poorly, and each stage is a full HBM round trip of a 112x112x64
+map. This kernel runs the whole stem in ONE pass (measured 31us end to end
+at B=1, 3.8x) with every intermediate resident in VMEM.
+
+Approach — space-to-depth implicit GEMM (the exact identity derived in
+``inference.stem``): a 7x7/s2/p3 conv equals a 4x4/s1/p(2,1) conv over the
+2x2 space-to-depth input, so the whole conv becomes ONE
+``(rows*112, 256) @ (256, 64)`` MXU contraction per grid step. The s2d
+rearrangement itself is split to fit the hardware:
+
+- channels are zero-padded 3->4 and the W-pairs merged OUTSIDE the kernel
+  (``(N,H,W,4) -> (N,H,W/2,8)``, one cheap XLA relayout — materializing the
+  full s2d array instead costs ~40us because a 12..16-lane transpose is
+  itself lane-starved);
+- the H-pair merge (rows 2g, 2g+1 -> lane groups) happens IN-KERNEL via an
+  even/odd row phase reshape + lane concat (Mosaic rejects general
+  minor-dim reshapes, but splitting a *major* dim is free).
+
+The 3x3/s2/p1 maxpool runs in-kernel on the conv result via the same
+even/odd phase trick (contiguous slices only, no reduce_window, no strided
+VMEM access); the conv row above the image is masked to -inf to reproduce
+the pool's padding.
+
+Tiling: grid over (batch, pooled-row blocks). Each step loads ``4P`` raw
+rows plus 8-row top/bottom halos (row-aligned BlockSpecs over the same
+array), computes the ``2P+1`` conv rows its ``P`` pooled rows need, and
+writes only the pooled block: HBM traffic is one read of the input + one
+write of the 4x-smaller output.
+
+Scope: the basic-stem geometry — odd k, stride 2, pad (k-1)//2 == 3 (i.e.
+7x7), pool 3x3/s2/p1, even H/W. The reference framework has no execution
+layer at all (reference README.md:22); this kernel is part of the serving
+runtime it lacks.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_stem", "fused_stem_reference", "transform_stem_kernel"]
+
+_NEG = -1e30  # -inf stand-in that survives bf16/f32 casts
+
+
+def transform_stem_kernel(w: jax.Array) -> jax.Array:
+    """``(7, 7, C<=4, O)`` HWIO stride-2 kernel -> ``(4, 4, 16, O)`` s2d form.
+
+    Zero-pads the kernel extent 7->8 (front) and the in-channels to 4, then
+    rearranges so tap ``(ki, kj)`` of the s2d conv reads lane group
+    ``(di, dj, c)`` — matching the kernel's in-VMEM channel order
+    (W-merge ``dj`` outside, H-merge ``di`` in-kernel => ``di*8 + dj*4 + c``).
+    """
+    kh, kw, cin, cout = w.shape
+    assert kh == 7 and kw == 7 and cin <= 4, w.shape
+    w8 = jnp.pad(w, ((1, 0), (1, 0), (0, 4 - cin), (0, 0)))
+    t = w8.reshape(4, 2, 4, 2, 4, cout)          # (ki, di, kj, dj, c, o)
+    t = t.transpose(0, 2, 1, 3, 4, 5)            # (ki, kj, di, dj, c, o)
+    return t.reshape(4, 4, 16, cout)
+
+
+def _kernel(x_ref, top_ref, bot_ref, w_ref, b_ref, out_ref, *, p_rows: int):
+    ri = pl.program_id(1)
+    nr = pl.num_programs(1)
+    P = p_rows
+    o = out_ref.shape[-1]
+
+    # raw W-merged rows: halo rows outside the image are zero (= the conv's
+    # zero row padding; rows -4..-3 are only read by the masked-out conv
+    # row -1, so zeros are safe there too)
+    top = jnp.where(ri > 0, top_ref[...], 0)
+    bot = jnp.where(ri < nr - 1, bot_ref[...], 0)
+    v = jnp.concatenate([top, x_ref[...], bot], axis=1)  # (1, 4P+16, W/2, 8)
+
+    # H-merge: s2d row g = raw rows (2g, 2g+1) -> lanes (di major)
+    n_, r_, wm, c_ = v.shape
+    vp = v.reshape(n_, r_ // 2, 2, wm, c_)
+    xs = jnp.concatenate([vp[:, :, 0], vp[:, :, 1]], axis=-1)  # (1,2P+8,W/2,16)
+    w = wm
+    c4 = 2 * c_
+    xs = jnp.pad(xs, ((0, 0), (0, 0), (2, 1), (0, 0)))  # conv W padding
+
+    # conv rows r = 2p0-1 .. 2p0+2P-1 (local cr = 0..2P); tap (dy, dx) of
+    # the 4x4 s2d kernel reads s2d rows (r-2)+dy -> local slab row cr+1+dy
+    n_conv = 2 * P + 1
+    m = n_conv * w
+    slabs = [
+        xs[:, 1 + dy: 1 + dy + n_conv, dx: dx + w, :].reshape(m, c4)
+        for dy in range(4) for dx in range(4)
+    ]
+    patches = jnp.concatenate(slabs, axis=-1)  # (M, 256)
+    acc = lax.dot_general(patches, w_ref[...],
+                          dimension_numbers=(((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    y = jnp.maximum(acc + b_ref[...], 0.0).reshape(n_conv, w, o)
+
+    # conv row -1 (only present in the first block) is the pool's -inf pad
+    rid = lax.broadcasted_iota(jnp.int32, (n_conv, 1, 1), 0)
+    y = jnp.where((rid > 0) | (ri > 0), y, _NEG)
+
+    # maxpool rows: pooled q needs conv local rows 2q, 2q+1, 2q+2.
+    # Append one -inf row -> (2P+2) rows -> phase reshape (P+1, 2, ...):
+    # A[q] = row 2q, B[q] = row 2q+1; pooled = max(A[q], B[q], A[q+1]).
+    yp = jnp.concatenate([y, jnp.full((1, w, o), _NEG, y.dtype)], axis=0)
+    ab = yp.reshape(P + 1, 2, w, o)
+    a, b = ab[:, 0], ab[:, 1]
+    rm = jnp.maximum(jnp.maximum(a[:P], b[:P]), a[1:])  # (P, W/2, O)
+
+    # maxpool cols: pad one -inf col each side -> phase reshape:
+    # E[j] = col 2j-1, F[j] = col 2j; pooled c = max(E[c], F[c], E[c+1]).
+    wp = w // 2
+    rmp = jnp.concatenate(
+        [jnp.full((P, 1, o), _NEG, rm.dtype), rm,
+         jnp.full((P, 1, o), _NEG, rm.dtype)], axis=1)
+    ef = rmp.reshape(P, wp + 1, 2, o)
+    e, f = ef[:, :, 0], ef[:, :, 1]
+    out = jnp.maximum(jnp.maximum(e[:, :wp], f[:, :wp]), e[:, 1:])
+    out_ref[...] = out.reshape(1, P, wp, o).astype(out_ref.dtype)
+
+
+def _pick_rows(hp: int, w2: int, o: int) -> int:
+    """Largest even divisor of Hp whose buffers fit a ~4MB budget."""
+    best = 2
+    for p in range(2, hp + 1, 2):
+        if hp % p:
+            continue
+        patches = (2 * p + 1) * w2 * 256 * 2  # bf16
+        acc = (2 * p + 1) * w2 * o * 4
+        if patches + 2 * acc <= (4 << 20):
+            best = p
+    return best
+
+
+def fused_stem(
+    x: jax.Array,
+    w: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    out_dtype=None,
+    rows_per_step: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """``maxpool3x3/s2/p1(relu(conv7x7/s2/p3(x, w) + bias))`` in one kernel.
+
+    Args:
+        x: ``(N, H, W, C)`` input, ``C <= 4``, H % 8 == 0, W % 4 == 0.
+        w: ``(7, 7, C, O)`` HWIO conv kernel (BN already folded by the
+            deployment pass).
+        bias: ``(O,)`` folded conv+BN bias, or None.
+    Returns:
+        ``(N, H/4, W/4, O)`` pooled stem output.
+    """
+    n, h, ws, c = x.shape
+    assert c <= 4 and h % 8 == 0 and ws % 4 == 0, x.shape
+    o = w.shape[-1]
+    hp, wp = h // 4, ws // 4
+    out_dtype = x.dtype if out_dtype is None else out_dtype
+
+    p = rows_per_step or _pick_rows(hp, ws // 2, o)
+    assert hp % p == 0 and p % 2 == 0, (p, hp)
+    nr = hp // p
+
+    # outside-the-kernel rearrangement: channel pad to 4 + W-pair merge
+    x4 = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 4 - c))) if c < 4 else x
+    xwr = x4.reshape(n, h, ws // 2, 8)
+
+    wf = transform_stem_kernel(w).reshape(256, o).astype(x.dtype)
+    bf = (jnp.zeros((o,), jnp.float32) if bias is None
+          else bias.astype(jnp.float32)).reshape(1, o)
+
+    def idx_mid(b, ri):
+        return (b, ri, 0, 0)
+
+    def idx_top(b, ri):
+        return (b, jnp.maximum(ri * 4 * p - 8, 0) // 8, 0, 0)
+
+    def idx_bot(b, ri):
+        return (b, jnp.minimum(ri * 4 * p + 4 * p, h - 8) // 8, 0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, p_rows=p),
+        grid=(n, nr),
+        in_specs=[
+            pl.BlockSpec((1, 4 * p, ws // 2, 8), idx_mid,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, ws // 2, 8), idx_top,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, ws // 2, 8), idx_bot,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, o), lambda b, ri: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, o), lambda b, ri: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p, wp, o), idx_mid,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hp, wp, o), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * (h // 2) * (ws // 2) * 256 * o,
+            bytes_accessed=(n * h * ws * 4 * x.dtype.itemsize
+                            + n * hp * wp * o
+                            * jnp.dtype(out_dtype).itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xwr, xwr, xwr, wf, bf)
+
+
+def fused_stem_reference(x, w, bias=None, *, out_dtype=None) -> jax.Array:
+    """Pure-jnp oracle for :func:`fused_stem` (f32, CPU-runnable)."""
+    from .. import functional as F
+
+    out_dtype = x.dtype if out_dtype is None else out_dtype
+    y = lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32), (2, 2),
+        ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    y = jnp.maximum(y, 0.0)
+    return F.max_pool(y, 3, 2, 1).astype(out_dtype)

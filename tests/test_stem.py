@@ -91,3 +91,84 @@ def test_grad_flows_through_s2d(tmp_path):
     ref_leaf = jax.tree.leaves(g_ref)[0]
     s2d_leaf = jax.tree.leaves(g_s2d)[0]
     np.testing.assert_allclose(s2d_leaf, ref_leaf, rtol=1e-4, atol=1e-5)
+
+
+class TestFusedStemKernel:
+    """Pallas stem megakernel (interpret mode) vs the conv/pool oracle."""
+
+    def _check(self, n, h, w, c, o, rps):
+        from bnn_tpu.kernels.stem import fused_stem, fused_stem_reference
+        k1, k2, k3 = jax.random.split(jax.random.key(n * h + w), 3)
+        x = jax.random.normal(k1, (n, h, w, c))
+        wk = jax.random.normal(k2, (7, 7, c, o)) * 0.1
+        b = jax.random.normal(k3, (o,))
+        ref = fused_stem_reference(x, wk, b)
+        got = fused_stem(x, wk, b, rows_per_step=rps, interpret=True)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    def test_single_block(self):
+        self._check(1, 16, 8, 3, 8, None)
+
+    def test_multi_block_grid(self):
+        self._check(2, 16, 8, 3, 8, 2)
+
+    def test_channels_padded(self):
+        self._check(1, 8, 8, 1, 8, 2)
+
+    def test_resnet_shape_family(self):
+        self._check(1, 32, 32, 3, 16, 4)
+
+    def test_no_bias(self):
+        from bnn_tpu.kernels.stem import fused_stem, fused_stem_reference
+        x = jax.random.normal(jax.random.key(0), (1, 16, 16, 3))
+        wk = jax.random.normal(jax.random.key(1), (7, 7, 3, 8)) * 0.1
+        np.testing.assert_allclose(
+            fused_stem(x, wk, interpret=True),
+            fused_stem_reference(x, wk), rtol=1e-5, atol=1e-5)
+
+
+class TestFuseStemPass:
+    def _model(self, **kw):
+        m = models.resnet18(num_classes=10, rngs=nnx.Rngs(0), **kw)
+        m.eval()
+        return m
+
+    def test_fuse_and_parity(self):
+        from bnn_tpu.inference import FusedStem, fuse_stem
+        m = self._model()
+        x = jax.random.normal(jax.random.key(2), (2, 32, 32, 3))
+        ref = m(x)
+        assert fuse_stem(m, interpret=True) == 1
+        assert isinstance(m.conv1, FusedStem)
+        assert isinstance(m.bn1, nn.Identity)
+        assert isinstance(m.maxpool, nn.Identity)
+        np.testing.assert_allclose(m(x), ref, rtol=2e-4, atol=2e-4)
+
+    def test_fallback_above_batch_cap(self):
+        from bnn_tpu.inference import fuse_stem
+        m = self._model()
+        x = jax.random.normal(jax.random.key(3), (3, 32, 32, 3))
+        ref = m(x)
+        assert fuse_stem(m, max_batch=2) == 1  # B=3 > cap -> unfused path
+        np.testing.assert_allclose(m(x), ref, rtol=2e-4, atol=2e-4)
+
+    def test_wraps_space_to_depth_conv(self):
+        from bnn_tpu.inference import fuse_stem, space_to_depth_stem
+        m = self._model()
+        x = jax.random.normal(jax.random.key(4), (1, 32, 32, 3))
+        ref = m(x)
+        assert space_to_depth_stem(m) == 1
+        assert fuse_stem(m, interpret=True) == 1
+        np.testing.assert_allclose(m(x), ref, rtol=2e-4, atol=2e-4)
+
+    def test_dabnn_stem_not_fused(self):
+        from bnn_tpu.inference import fuse_stem
+        m = self._model(stem_type="dabnn")
+        assert fuse_stem(m) == 0
+
+    def test_idempotent(self):
+        from bnn_tpu.inference import fuse_stem
+        m = self._model()
+        assert fuse_stem(m, interpret=True) == 1
+        assert fuse_stem(m, interpret=True) == 0
