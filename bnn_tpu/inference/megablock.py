@@ -53,11 +53,26 @@ from .. import nn
 from ..binarize import named_modules, set_module_by_name
 from ..kernels.block import fused_basic_block
 from ..kernels.packing import unpack_bits
+from ..kernels.strided_block import fused_downsample_block
 from ..models.layers import BasicBlock
 from .deploy import DeployedConv
 from .optimize import fold_bn_after
 
-__all__ = ["fuse_blocks", "FusedBlock", "default_fuse_predicate"]
+__all__ = ["fuse_blocks", "FusedBlock", "FusedDownBlock",
+           "default_fuse_predicate"]
+
+
+def _conv_weight_int8(conv: DeployedConv):
+    """The conv's ``+/-1`` weights as int8 in storage-layout order.
+
+    Detects packing by shape, not ``weight_format``: GEMM-mode convs store
+    packed int32 lanes regardless of the requested format.
+    """
+    w = conv.w_packed[...]
+    if w.shape[-2] != conv.k:  # packed int32 lanes
+        w = unpack_bits(w, conv.k, axis=-2, dtype=jnp.int8)
+        w = w[..., : conv.k, :]
+    return w
 
 
 def default_fuse_predicate(n: int, h: int, w: int, c: int) -> bool:
@@ -117,13 +132,6 @@ class FusedBlock(nnx.Module):
         self.taps_per_dot = taps_per_dot
         self.interpret = interpret
 
-    def _conv_weight_int8(self, conv: DeployedConv):
-        w = conv.w_packed[...]
-        if conv.weight_format != "int8":
-            w = unpack_bits(w, conv.k, axis=-2, dtype=jnp.int8)
-            w = w[..., : conv.k, :]
-        return w
-
     def __call__(self, x):
         b = self.block
         if x.shape[0] > self.max_fused_batch or not self.fuse_when(*x.shape):
@@ -136,8 +144,8 @@ class FusedBlock(nnx.Module):
         p2 = a2_slope[...] if a2_slope is not None else None
         return fused_basic_block(
             x,
-            self._conv_weight_int8(b.conv1),
-            self._conv_weight_int8(b.conv2),
+            _conv_weight_int8(b.conv1),
+            _conv_weight_int8(b.conv2),
             b.conv1.scale[...], b.conv1.add[...],
             b.conv2.scale[...], b.conv2.add[...],
             act=(a1_kind, a2_kind), prelu1=p1, prelu2=p2,
@@ -146,6 +154,119 @@ class FusedBlock(nnx.Module):
             out_dtype=x.dtype,
             taps_per_dot=self.taps_per_dot, interpret=self.interpret,
         )
+
+
+class FusedDownBlock(nnx.Module):
+    """Megakernel execution of a deployed STRIDE-2 (downsample) BasicBlock.
+
+    Covers the blocks :class:`FusedBlock` cannot — conv1 at stride 2 with
+    the BNN AvgPool->1x1->BN shortcut — via
+    :func:`bnn_tpu.kernels.strided_block.fused_downsample_block`. Holds the
+    original block (same weight arrays) for the large-batch path and for
+    checkpoint round-trips.
+    """
+
+    def __init__(self, block: BasicBlock, *, max_fused_batch: int = 4,
+                 interpret: bool = False):
+        self.block = block
+        self.max_fused_batch = max_fused_batch
+        self.interpret = interpret
+
+    def __call__(self, x):
+        b = self.block
+        n, h, w, _ = x.shape
+        if n > self.max_fused_batch or h % 2 or w % 2:
+            return b(x)
+        dconv = b.downsample[1]
+        a1_kind, a1_slope = _act_kind(b.act1)
+        a2_kind, a2_slope = _act_kind(b.act2)
+
+        def thr(conv):
+            return conv.threshold[...] if conv.threshold is not None else None
+
+        return fused_downsample_block(
+            x,
+            _conv_weight_int8(b.conv1),
+            _conv_weight_int8(b.conv2),
+            _conv_weight_int8(dconv),
+            b.conv1.scale[...], b.conv1.add[...],
+            b.conv2.scale[...], b.conv2.add[...],
+            dconv.scale[...], dconv.add[...],
+            act=(a1_kind, a2_kind),
+            prelu1=a1_slope[...] if a1_slope is not None else None,
+            prelu2=a2_slope[...] if a2_slope is not None else None,
+            threshold1=thr(b.conv1), thresholdd=thr(dconv),
+            zero_to_one=getattr(b.conv1, "zero_to_one", False),
+            out_dtype=x.dtype, interpret=self.interpret,
+        )
+
+
+def _downsample_parts(block):
+    """(avgpool, conv1x1, bn) of an eligible BNN downsample, else None."""
+    ds = block.downsample
+    if not isinstance(ds, nn.Sequential) or len(ds) != 3:
+        return None
+    ap, conv, bn = ds[0], ds[1], ds[2]
+    if not isinstance(ap, nn.AvgPool2d):
+        return None
+    stride = ap.stride if ap.stride is not None else ap.kernel_size
+    if (tuple(F._ntuple(ap.kernel_size, 2)) != (2, 2)
+            or tuple(F._ntuple(stride, 2)) != (2, 2)
+            or tuple(F._ntuple(ap.padding, 2)) != (0, 0)):
+        return None
+    # pointwise convs deploy in either conv or gemm mode; for a 1x1 the
+    # weight layouts coincide ((C_in, C_out) on the trailing axes)
+    if not (isinstance(conv, DeployedConv)
+            and conv.mode in ("conv", "gemm", "im2col")
+            and tuple(conv.kernel_size) == (1, 1)
+            and tuple(F._ntuple(conv.stride, 2)) == (1, 1)
+            and conv.spatial_post is None):
+        return None
+    return ap, conv, bn
+
+
+def _eligible_down(block) -> bool:
+    if not isinstance(block, BasicBlock) or block.downsample is None:
+        return False
+    c1, c2 = block.conv1, block.conv2
+    for conv, stride in ((c1, 2), (c2, 1)):
+        if not (isinstance(conv, DeployedConv) and conv.mode == "conv"
+                and tuple(conv.kernel_size) == (3, 3)
+                and tuple(F._ntuple(conv.stride, 2)) == (stride, stride)
+                and tuple(F._ntuple(conv.dilation, 2)) == (1, 1)
+                and not isinstance(conv.padding, str)
+                and tuple(F._ntuple(conv.padding, 2)) == (1, 1)
+                and conv.spatial_post is None):
+            return False
+    if c2.threshold is not None:
+        return False
+    parts = _downsample_parts(block)
+    if parts is None:
+        return False
+    _, dconv, bn = parts
+    z = getattr(c1, "zero_to_one", False)
+    if (getattr(c2, "zero_to_one", False) != z
+            or getattr(dconv, "zero_to_one", False) != z):
+        return False
+    a1, _ = _act_kind(block.act1)
+    a2, _ = _act_kind(block.act2)
+    if a1 is None or a2 is None:
+        return False
+    # BNs must be folded — fold them here if still present
+    for layer, bn_, setter in (
+            (block.conv1, block.bn1, lambda: setattr(block, "bn1",
+                                                     nn.Identity())),
+            (block.conv2, block.bn2, lambda: setattr(block, "bn2",
+                                                     nn.Identity())),
+            (dconv, bn, lambda: block.downsample.__setitem__(
+                2, nn.Identity()))):
+        if isinstance(bn_, nn.Identity):
+            continue
+        if isinstance(bn_, nn.BatchNorm2d) and fold_bn_after(layer, bn_):
+            setter()
+            continue
+        return False
+    return True
 
 
 def _eligible(block) -> bool:
@@ -176,7 +297,7 @@ def _eligible(block) -> bool:
 
 
 def fuse_blocks(model: nnx.Module, *, max_fused_batch: int = 4,
-                fuse_when=None,
+                fuse_when=None, strided: bool = False,
                 taps_per_dot: int = 9, interpret: bool = False) -> int:
     """Replace eligible deployed BasicBlocks with FusedBlocks (in place).
 
@@ -186,11 +307,19 @@ def fuse_blocks(model: nnx.Module, *, max_fused_batch: int = 4,
     megakernel actually runs is decided per trace by ``max_fused_batch``
     and ``fuse_when`` (see :class:`FusedBlock`); the default ``None``
     always fuses below the batch cap — measured fastest end to end.
+
+    ``strided=True`` additionally fuses stride-2 downsample blocks via
+    :class:`FusedDownBlock`. Default OFF: measured on v5e (binary
+    ResNet-18, stem+stride-1 blocks already fused) it is a net LOSS —
+    B=1 70.3us -> 78.1us, B=4 287 -> 307us — the 28x28x128-style
+    downsample shapes are exactly where XLA's int8 convs already run
+    near-roofline and the kernel's in-VMEM patch assembly floor loses.
+    Available for other chips/models where the tradeoff may differ.
     """
     fused = 0
-    wrapped = []  # don't descend into FusedBlocks (their .block stays live)
+    wrapped = []  # don't descend into fused blocks (their .block stays live)
     for name, m in list(named_modules(model)):
-        if isinstance(m, FusedBlock):
+        if isinstance(m, (FusedBlock, FusedDownBlock)):
             wrapped.append(name + ".")
             continue
         if any(name.startswith(p) for p in wrapped):
@@ -199,5 +328,9 @@ def fuse_blocks(model: nnx.Module, *, max_fused_batch: int = 4,
             set_module_by_name(model, name, FusedBlock(
                 m, max_fused_batch=max_fused_batch, fuse_when=fuse_when,
                 taps_per_dot=taps_per_dot, interpret=interpret))
+            fused += 1
+        elif strided and _eligible_down(m):
+            set_module_by_name(model, name, FusedDownBlock(
+                m, max_fused_batch=max_fused_batch, interpret=interpret))
             fused += 1
     return fused
