@@ -79,13 +79,24 @@ def main():
         f"speedup {t_qat/t_i8:.2f}x")
 
     dep_p = deploy(build(), use_pallas=on_tpu, weight_format="packed")
-    cast_floats(dep_p, jnp.bfloat16)
-    gp, sp = nnx.split(dep_p)
-    t_p = loop_time(lambda v: nnx.merge(gp, sp)(v), x16, iters=iters,
-                    rounds=rounds)
-    log(f"deployed packed+bf16: {t_p*1e3:.2f} ms/batch ({batch/t_p:.0f} img/s) "
-        f"weights {model_weight_bytes(dep_p)/1e6:.1f} MB "
-        f"speedup {t_qat/t_p:.2f}x")
+    log(f"deployed packed: weights {model_weight_bytes(dep_p)/1e6:.1f} MB "
+        f"({model_weight_bytes(qat_model)/model_weight_bytes(dep_p):.1f}x "
+        f"compression)")
+
+    # serving latency: full optimized pipeline (BN folds + fused Pallas
+    # stem megakernel + whole-block megakernels) at batch 1
+    from bnn_tpu.inference import fuse_blocks, fuse_stem, optimize_deployed
+    dep_s = deploy(build(), use_pallas=on_tpu, weight_format="int8")
+    optimize_deployed(dep_s)
+    if on_tpu:
+        fuse_stem(dep_s)
+        fuse_blocks(dep_s, max_fused_batch=4)
+    cast_floats(dep_s, jnp.bfloat16)
+    gs, ss = nnx.split(dep_s)
+    x1 = x16[:1]
+    t_1 = loop_time(lambda v: nnx.merge(gs, ss)(v), x1,
+                    iters=10 * iters, rounds=rounds)
+    log(f"serving fused B=1: {t_1*1e6:.1f} us/img ({1/t_1:.0f} img/s)")
 
     imgs_per_s = batch / t_i8
     print(json.dumps({
