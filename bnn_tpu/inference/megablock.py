@@ -54,7 +54,7 @@ from ..binarize import named_modules, set_module_by_name
 from ..kernels.block import fused_basic_block
 from ..kernels.packing import unpack_bits
 from ..kernels.strided_block import fused_downsample_block
-from ..models.layers import BasicBlock
+from ..models.layers import BasicBlock, PreBasicBlock
 from .deploy import DeployedConv
 from .optimize import fold_bn_after
 
@@ -123,12 +123,13 @@ class FusedBlock(nnx.Module):
     large-batch path and for checkpoint round-trips.
     """
 
-    def __init__(self, block: BasicBlock, *, max_fused_batch: int = 4,
-                 fuse_when=None,
+    def __init__(self, block, *, max_fused_batch: int = 4,
+                 fuse_when=None, pre: bool = False,
                  taps_per_dot: int = 9, interpret: bool = False):
         self.block = block
         self.max_fused_batch = max_fused_batch
         self.fuse_when = fuse_when or (lambda n, h, w, c: True)
+        self.pre = pre  # pre-activation ordering (PreBasicBlock)
         self.taps_per_dot = taps_per_dot
         self.interpret = interpret
 
@@ -140,6 +141,8 @@ class FusedBlock(nnx.Module):
         a2_kind, a2_slope = _act_kind(b.act2)
         thr = (b.conv1.threshold[...]
                if b.conv1.threshold is not None else None)
+        thr2 = (b.conv2.threshold[...]
+                if b.conv2.threshold is not None else None)
         p1 = a1_slope[...] if a1_slope is not None else None
         p2 = a2_slope[...] if a2_slope is not None else None
         return fused_basic_block(
@@ -149,7 +152,7 @@ class FusedBlock(nnx.Module):
             b.conv1.scale[...], b.conv1.add[...],
             b.conv2.scale[...], b.conv2.add[...],
             act=(a1_kind, a2_kind), prelu1=p1, prelu2=p2,
-            threshold=thr,
+            threshold=thr, threshold2=thr2, pre=self.pre,
             zero_to_one=getattr(b.conv1, "zero_to_one", False),
             out_dtype=x.dtype,
             taps_per_dot=self.taps_per_dot, interpret=self.interpret,
@@ -166,10 +169,11 @@ class FusedDownBlock(nnx.Module):
     checkpoint round-trips.
     """
 
-    def __init__(self, block: BasicBlock, *, max_fused_batch: int = 4,
-                 interpret: bool = False):
+    def __init__(self, block, *, max_fused_batch: int = 4,
+                 pre: bool = False, interpret: bool = False):
         self.block = block
         self.max_fused_batch = max_fused_batch
+        self.pre = pre  # pre-activation ordering (PreBasicBlock)
         self.interpret = interpret
 
     def __call__(self, x):
@@ -195,7 +199,8 @@ class FusedDownBlock(nnx.Module):
             act=(a1_kind, a2_kind),
             prelu1=a1_slope[...] if a1_slope is not None else None,
             prelu2=a2_slope[...] if a2_slope is not None else None,
-            threshold1=thr(b.conv1), thresholdd=thr(dconv),
+            threshold1=thr(b.conv1), threshold2=thr(b.conv2),
+            thresholdd=thr(dconv), pre=self.pre,
             zero_to_one=getattr(b.conv1, "zero_to_one", False),
             out_dtype=x.dtype, interpret=self.interpret,
         )
@@ -226,7 +231,11 @@ def _downsample_parts(block):
 
 
 def _eligible_down(block) -> bool:
-    if not isinstance(block, BasicBlock) or block.downsample is None:
+    from .optimize import fold_bn_before
+
+    pre = isinstance(block, PreBasicBlock)
+    if not isinstance(block, (BasicBlock, PreBasicBlock)) \
+            or block.downsample is None:
         return False
     c1, c2 = block.conv1, block.conv2
     for conv, stride in ((c1, 2), (c2, 1)):
@@ -238,8 +247,6 @@ def _eligible_down(block) -> bool:
                 and tuple(F._ntuple(conv.padding, 2)) == (1, 1)
                 and conv.spatial_post is None):
             return False
-    if c2.threshold is not None:
-        return False
     parts = _downsample_parts(block)
     if parts is None:
         return False
@@ -252,14 +259,29 @@ def _eligible_down(block) -> bool:
     a2, _ = _act_kind(block.act2)
     if a1 is None or a2 is None:
         return False
-    # BNs must be folded — fold them here if still present
-    for layer, bn_, setter in (
+    # BNs must be folded — fold them here if still present. Post-act: into
+    # the conv epilogues; pre-act: into the convs' sign thresholds.
+    if pre:
+        for bi, ci_ in (("bn1", "conv1"), ("bn2", "conv2")):
+            bn_ = getattr(block, bi)
+            if isinstance(bn_, nn.Identity):
+                continue
+            if isinstance(bn_, nn.BatchNorm2d) and fold_bn_before(
+                    bn_, getattr(block, ci_)):
+                setattr(block, bi, nn.Identity())
+                continue
+            return False
+        folds = ((dconv, bn, lambda: block.downsample.__setitem__(
+            2, nn.Identity())),)
+    else:
+        folds = (
             (block.conv1, block.bn1, lambda: setattr(block, "bn1",
                                                      nn.Identity())),
             (block.conv2, block.bn2, lambda: setattr(block, "bn2",
                                                      nn.Identity())),
             (dconv, bn, lambda: block.downsample.__setitem__(
-                2, nn.Identity()))):
+                2, nn.Identity())))
+    for layer, bn_, setter in folds:
         if isinstance(bn_, nn.Identity):
             continue
         if isinstance(bn_, nn.BatchNorm2d) and fold_bn_after(layer, bn_):
@@ -273,8 +295,6 @@ def _eligible(block) -> bool:
     if not isinstance(block, BasicBlock) or block.downsample is not None:
         return False
     if not (_fusable_conv(block.conv1) and _fusable_conv(block.conv2)):
-        return False
-    if block.conv2.threshold is not None:
         return False
     if (getattr(block.conv1, "zero_to_one", False)
             != getattr(block.conv2, "zero_to_one", False)):
@@ -290,6 +310,38 @@ def _eligible(block) -> bool:
             continue
         if isinstance(bn, nn.BatchNorm2d) and fold_bn_after(
                 getattr(block, ci), bn):
+            setattr(block, bi, nn.Identity())
+            continue
+        return False
+    return True
+
+
+def _eligible_pre(block) -> bool:
+    """Pre-activation BasicBlock: bn -> sign -> conv, act before residual.
+
+    bn1/bn2 fold into the convs' sign THRESHOLDS (the BN-before identity,
+    inference.optimize.fold_bn_before); the megakernel consumes them as
+    threshold/threshold2 with ``pre=True`` ordering.
+    """
+    from .optimize import fold_bn_before
+
+    if not isinstance(block, PreBasicBlock) or block.downsample is not None:
+        return False
+    if not (_fusable_conv(block.conv1) and _fusable_conv(block.conv2)):
+        return False
+    if (getattr(block.conv1, "zero_to_one", False)
+            != getattr(block.conv2, "zero_to_one", False)):
+        return False
+    a1, _ = _act_kind(block.act1)
+    a2, _ = _act_kind(block.act2)
+    if a1 is None or a2 is None:
+        return False
+    for bi, ci in (("bn1", "conv1"), ("bn2", "conv2")):
+        bn = getattr(block, bi)
+        if isinstance(bn, nn.Identity):
+            continue
+        if isinstance(bn, nn.BatchNorm2d) and fold_bn_before(
+                bn, getattr(block, ci)):
             setattr(block, bi, nn.Identity())
             continue
         return False
@@ -329,8 +381,14 @@ def fuse_blocks(model: nnx.Module, *, max_fused_batch: int = 4,
                 m, max_fused_batch=max_fused_batch, fuse_when=fuse_when,
                 taps_per_dot=taps_per_dot, interpret=interpret))
             fused += 1
-        elif strided and _eligible_down(m):
+        elif _eligible_pre(m):
+            set_module_by_name(model, name, FusedBlock(
+                m, max_fused_batch=max_fused_batch, fuse_when=fuse_when,
+                pre=True, taps_per_dot=taps_per_dot, interpret=interpret))
+            fused += 1
+        elif _eligible_down(m) and (strided or isinstance(m, PreBasicBlock)):
             set_module_by_name(model, name, FusedDownBlock(
-                m, max_fused_batch=max_fused_batch, interpret=interpret))
+                m, max_fused_batch=max_fused_batch,
+                pre=isinstance(m, PreBasicBlock), interpret=interpret))
             fused += 1
     return fused

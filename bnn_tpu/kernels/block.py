@@ -94,13 +94,15 @@ def _conv3x3_rows(xs4, w2d, taps_per_dot: int):
 
 
 def _kernel(x_ref, top_ref, bot_ref, w1_ref, w2_ref, prm_ref, out_ref, *,
-            act1: str, act2: str, taps_per_dot: int, zero_to_one: bool):
+            act1: str, act2: str, taps_per_dot: int, zero_to_one: bool,
+            pre: bool):
     nb, r, w, c = x_ref.shape
     ri = pl.program_id(1)
     nr = pl.num_programs(1)
     prm = prm_ref[...]  # (8, c) f32
     s1, a1, p1 = prm[0:1], prm[1:2], prm[2:3]
     s2, a2, p2, thr = prm[3:4], prm[4:5], prm[5:6], prm[6:7]
+    thr2 = prm[7:8]
 
     def sign_of(v4, t):
         n_, h_, w_, c_ = v4.shape
@@ -120,8 +122,8 @@ def _kernel(x_ref, top_ref, bot_ref, w1_ref, w2_ref, prm_ref, out_ref, *,
     # conv1 over r+2 output rows (the halo conv2 needs), epilogue + act
     acc1 = _conv3x3_rows(xs, w1_ref[...], taps_per_dot)  # (nb*(r+2)*w, c)
     y1 = _apply_act(acc1.astype(jnp.float32) * s1 + a1, act1, p1)
-    hs = (jnp.where(y1 >= 0, 1, -1) if zero_to_one else
-          jnp.where(y1 > 0, 1, jnp.where(y1 < 0, -1, 0)))
+    hs = (jnp.where(y1 >= thr2, 1, -1) if zero_to_one else
+          jnp.where(y1 > thr2, 1, jnp.where(y1 < thr2, -1, 0)))
     hs = hs.astype(jnp.int8).reshape(nb, r + 2, w, c)
     # at the image's top/bottom edge the halo row is conv2's zero padding,
     # not a computable conv1 row — zero it (interior block edges keep it)
@@ -133,7 +135,10 @@ def _kernel(x_ref, top_ref, bot_ref, w1_ref, w2_ref, prm_ref, out_ref, *,
     acc2 = _conv3x3_rows(hs, w2_ref[...], taps_per_dot)  # (nb*r*w, c)
     y2 = acc2.astype(jnp.float32) * s2 + a2
     xf = x_ref[...].reshape(nb * r * w, c).astype(jnp.float32)
-    out = _apply_act(y2 + xf, act2, p2)
+    if pre:  # pre-activation ordering: act BEFORE the residual add
+        out = _apply_act(y2, act2, p2) + xf
+    else:
+        out = _apply_act(y2 + xf, act2, p2)
     out_ref[...] = out.reshape(nb, r, w, c).astype(out_ref.dtype)
 
 
@@ -178,6 +183,8 @@ def fused_basic_block(
     prelu1: Optional[jax.Array] = None,
     prelu2: Optional[jax.Array] = None,
     threshold: Optional[jax.Array] = None,
+    threshold2: Optional[jax.Array] = None,
+    pre: bool = False,
     zero_to_one: bool = True,
     out_dtype=None,
     taps_per_dot: int = 9,
@@ -197,7 +204,12 @@ def fused_basic_block(
             a ``(act1, act2)`` tuple selects them independently.
         prelu1/prelu2: ``(C,)`` or scalar slopes when ``act == 'prelu'``.
         threshold: optional ``(C,)`` per-channel input sign threshold
-            (from a BN-before fold); conv2's sign threshold is always 0.
+            (from a BN-before fold).
+        threshold2: optional ``(C,)`` per-channel threshold for conv2's
+            input sign (pre-activation blocks fold bn2 here); default 0.
+        pre: pre-activation residual ordering — ``act2(y2) + x`` instead
+            of the post-activation ``act2(y2 + x)`` (reference
+            bnn/models/layers/res_block.py:152-167 vs :41-47).
         zero_to_one: sign(0) convention for BOTH in-kernel signs — True
             maps exact zeros to +1; False is torch parity (``sign(0) == 0``,
             ternary activations — what QAT's default binarizer computes;
@@ -223,7 +235,7 @@ def fused_basic_block(
     prm = jnp.stack([
         _row(scale1, 1.0), _row(add1, 0.0), _row(prelu1, 0.25),
         _row(scale2, 1.0), _row(add2, 0.0), _row(prelu2, 0.25),
-        _row(threshold, 0.0), jnp.zeros((c,), jnp.float32),
+        _row(threshold, 0.0), _row(threshold2, 0.0),
     ])  # (8, c)
 
     w1f = w1.astype(jnp.int8).reshape(9 * c, c)
@@ -250,7 +262,8 @@ def fused_basic_block(
     grid = (n // nb, nr)
     return pl.pallas_call(
         functools.partial(_kernel, act1=act1, act2=act2,
-                          taps_per_dot=taps_per_dot, zero_to_one=zero_to_one),
+                          taps_per_dot=taps_per_dot, zero_to_one=zero_to_one,
+                          pre=pre),
         grid=grid,
         in_specs=[
             pl.BlockSpec((nb, r, w, c), idx_mid, memory_space=pltpu.VMEM),
@@ -279,13 +292,15 @@ def fused_basic_block(
 
 def fused_basic_block_reference(
     x, w1, w2, scale1, add1, scale2, add2, *, act="relu", prelu1=None,
-    prelu2=None, threshold=None, zero_to_one=True, out_dtype=None,
+    prelu2=None, threshold=None, threshold2=None, pre=False,
+    zero_to_one=True, out_dtype=None,
 ) -> jax.Array:
     """Pure-jnp oracle for :func:`fused_basic_block` (f32, CPU-runnable)."""
     n, h, w, c = x.shape
     out_dtype = x.dtype if out_dtype is None else out_dtype
     act1, act2 = (act, act) if isinstance(act, str) else act
     thr = jnp.zeros((c,), jnp.float32) if threshold is None else threshold
+    thr2 = jnp.zeros((c,), jnp.float32) if threshold2 is None else threshold2
     p1 = jnp.asarray(0.25 if prelu1 is None else prelu1, jnp.float32)
     p2 = jnp.asarray(0.25 if prelu2 is None else prelu2, jnp.float32)
 
@@ -304,6 +319,8 @@ def fused_basic_block_reference(
     xs = sgn(xf, thr)
     y1 = conv(xs, w1) * scale1 + add1
     y1 = _apply_act(y1, act1, p1)
-    hs = sgn(y1, 0.0)
+    hs = sgn(y1, thr2)
     y2 = conv(hs, w2) * scale2 + add2
+    if pre:
+        return (_apply_act(y2, act2, p2) + xf).astype(out_dtype)
     return _apply_act(y2 + xf, act2, p2).astype(out_dtype)

@@ -71,17 +71,18 @@ def _sign_i8(v, thr, zero_to_one: bool):
 
 
 def _kernel(x_ref, top_ref, bot_ref, w1_ref, w2_ref, wd_ref, po_ref, pi_ref,
-            out_ref, *, act1: str, act2: str, zero_to_one: bool, ci: int):
+            out_ref, *, act1: str, act2: str, zero_to_one: bool, ci: int,
+            pre: bool):
     ri = pl.program_id(1)
     nr = pl.num_programs(1)
     _, rows2, w2w, c2 = x_ref.shape  # (1, 2R, W2, 2*C_in)
     R = rows2 // 2
     co = out_ref.shape[-1]
 
-    po = po_ref[...]  # (8, co) f32
+    po = po_ref[...]  # (9, co) f32
     s1, a1, p1 = po[0:1], po[1:2], po[2:3]
     s2, a2, p2 = po[3:4], po[4:5], po[5:6]
-    sd, ad = po[6:7], po[7:8]
+    sd, ad, thr2 = po[6:7], po[7:8], po[8:9]
     pi = pi_ref[...]  # (2, 4*C_in) f32: tiled thr1, tiled thrd
     thr1 = pi[0:1]
     thrd = pi[1:2, :ci]
@@ -112,7 +113,7 @@ def _kernel(x_ref, top_ref, bot_ref, w1_ref, w2_ref, wd_ref, po_ref, pi_ref,
                            dimension_numbers=(((1,), (0,)), ((), ())),
                            preferred_element_type=jnp.int32)
     y1 = _apply_act(acc1.astype(jnp.float32) * s1 + a1, act1, p1)
-    hs = _sign_i8(y1, 0.0, zero_to_one).reshape(R + 2, w2w, co)
+    hs = _sign_i8(y1, thr2, zero_to_one).reshape(R + 2, w2w, co)
     # conv1 rows outside [0, H2) are conv2's zero padding
     rid = lax.broadcasted_iota(jnp.int32, (R + 2, 1, 1), 0)
     keep = ((rid > 0) | (ri > 0)) & ((rid < R + 1) | (ri < nr - 1))
@@ -144,7 +145,10 @@ def _kernel(x_ref, top_ref, bot_ref, w1_ref, w2_ref, wd_ref, po_ref, pi_ref,
                            preferred_element_type=jnp.int32)
     ds = accd.astype(jnp.float32) * sd + ad
 
-    out = _apply_act(y2 + ds, act2, p2)
+    if pre:  # pre-activation ordering: act BEFORE the residual add
+        out = _apply_act(y2, act2, p2) + ds
+    else:
+        out = _apply_act(y2 + ds, act2, p2)
     out_ref[...] = out.reshape(1, R, w2w, co).astype(out_ref.dtype)
 
 
@@ -173,7 +177,9 @@ def fused_downsample_block(
     prelu1: Optional[jax.Array] = None,
     prelu2: Optional[jax.Array] = None,
     threshold1: Optional[jax.Array] = None,
+    threshold2: Optional[jax.Array] = None,
     thresholdd: Optional[jax.Array] = None,
+    pre: bool = False,
     zero_to_one: bool = True,
     out_dtype=None,
     rows_per_step: Optional[int] = None,
@@ -191,6 +197,10 @@ def fused_downsample_block(
             the shortcut conv (see inference.deploy).
         threshold1 / thresholdd: optional per-in-channel sign thresholds
             for conv1's input sign and the shortcut's post-avgpool sign.
+        threshold2: optional ``(C_out,)`` threshold for conv2's input sign
+            (pre-activation blocks fold bn2 here).
+        pre: pre-activation residual ordering — ``act2(y2) + ds`` instead
+            of the post-activation ``act2(y2 + ds)``.
     Returns:
         ``(N, H/2, W/2, C_out)``.
     """
@@ -217,7 +227,8 @@ def fused_downsample_block(
         _row(scale1, 1.0, co), _row(add1, 0.0, co), _row(prelu1, 0.25, co),
         _row(scale2, 1.0, co), _row(add2, 0.0, co), _row(prelu2, 0.25, co),
         _row(scaled, 1.0, co), _row(addd, 0.0, co),
-    ])  # (8, co)
+        _row(threshold2, 0.0, co),
+    ])  # (9, co)
     pi = jnp.stack([
         jnp.tile(_row(threshold1, 0.0, ci), 4),
         jnp.tile(_row(thresholdd, 0.0, ci), 4),
@@ -240,7 +251,7 @@ def fused_downsample_block(
 
     return pl.pallas_call(
         functools.partial(_kernel, act1=act1, act2=act2,
-                          zero_to_one=zero_to_one, ci=ci),
+                          zero_to_one=zero_to_one, ci=ci, pre=pre),
         grid=(n, nr),
         in_specs=[
             pl.BlockSpec((1, 2 * r, w2w, 2 * ci), idx_mid,
@@ -255,7 +266,7 @@ def fused_downsample_block(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ci, co), lambda b, ri: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, co), lambda b, ri: (0, 0),
+            pl.BlockSpec((9, co), lambda b, ri: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 4 * ci), lambda b, ri: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -276,8 +287,8 @@ def fused_downsample_block(
 
 def fused_downsample_block_reference(
     x, w1, w2, wd, scale1, add1, scale2, add2, scaled, addd, *,
-    act="relu", prelu1=None, prelu2=None, threshold1=None, thresholdd=None,
-    zero_to_one=True, out_dtype=None,
+    act="relu", prelu1=None, prelu2=None, threshold1=None, threshold2=None,
+    thresholdd=None, pre=False, zero_to_one=True, out_dtype=None,
 ) -> jax.Array:
     """Pure-jnp oracle for :func:`fused_downsample_block` (CPU-runnable)."""
     from .. import functional as F
@@ -289,6 +300,7 @@ def fused_downsample_block_reference(
     p1 = jnp.asarray(0.25 if prelu1 is None else prelu1, jnp.float32)
     p2 = jnp.asarray(0.25 if prelu2 is None else prelu2, jnp.float32)
     t1 = jnp.zeros((ci,)) if threshold1 is None else threshold1
+    t2 = jnp.zeros((co,)) if threshold2 is None else threshold2
     td = jnp.zeros((ci,)) if thresholdd is None else thresholdd
 
     def sgn(v, t):
@@ -304,10 +316,12 @@ def fused_downsample_block_reference(
 
     xf = x.astype(jnp.float32)
     y1 = conv(sgn(xf, t1), w1, 2) * scale1 + add1
-    hs = sgn(_apply_act(y1, act1, p1), 0.0)
+    hs = sgn(_apply_act(y1, act1, p1), t2)
     y2 = conv(hs, w2, 1) * scale2 + add2
     avg = F.avg_pool(xf, 2, 2, 0)
     dsig = sgn(avg, td)
     ds = jnp.einsum("nhwc,co->nhwo", dsig,
                     wd.reshape(ci, co).astype(jnp.float32)) * scaled + addd
+    if pre:
+        return (_apply_act(y2, act2, p2) + ds).astype(out_dtype)
     return _apply_act(y2 + ds, act2, p2).astype(out_dtype)
