@@ -6,8 +6,18 @@ Packages the deployment pipeline into a single object:
     logits = predictor(images)
 
 Pipeline: deploy (bitpacked/int8 weights, folded epilogues) -> BN graph
-folds -> bf16 float path -> one jitted forward with fixed-batch padding (so
-every request hits the same compiled executable).
+folds -> stem/block megakernels -> bf16 float path -> one jitted forward
+with fixed-batch padding (so every request hits the same compiled
+executable).
+
+Multi-chip serving: pass ``mesh=`` to split each request batch over the
+mesh's ``data`` axis with ``shard_map`` (weights replicated, zero
+collectives in the forward — each chip serves its batch shard
+independently; the reference's analogue is ``nn.DataParallel``,
+examples/cifar10.py:76). ``shard_map`` rather than GSPMD jit because the
+Pallas megakernels cannot be auto-partitioned — inside the map each device
+traces on its LOCAL batch, so the megakernel batch-cap dispatch applies
+per chip.
 """
 from __future__ import annotations
 
@@ -33,7 +43,7 @@ class Predictor:
                  weight_format: str = "int8", dtype=jnp.bfloat16,
                  use_pallas: bool = True, fold_bn: bool = True,
                  space_to_depth: bool = True, fuse: Optional[bool] = None,
-                 max_fused_batch: int = 4):
+                 max_fused_batch: int = 4, mesh=None, batch_axis: str = "data"):
         model.eval()
         model = deploy(model, weight_format=weight_format,
                        use_pallas=use_pallas)
@@ -50,14 +60,28 @@ class Predictor:
             cast_floats(model, dtype)
         self.batch_size = batch_size
         self.dtype = dtype or jnp.float32
+        self.mesh = mesh
         self._graphdef, self._state = nnx.split(model)
 
-        @jax.jit
-        def _forward(state, x):
+        def _run(state, x):
             out = nnx.merge(self._graphdef, state)(x)
             return out[0] if isinstance(out, tuple) else out
 
-        self._forward = _forward
+        if mesh is None:
+            self._forward = jax.jit(_run)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_shard = mesh.shape[batch_axis]
+            assert batch_size % n_shard == 0, (batch_size, n_shard)
+            # replicate the deployed weights once; shard requests on batch
+            self._state = jax.device_put(
+                jax.tree.map(jnp.asarray, self._state),
+                NamedSharding(mesh, P()))
+            sharded = jax.shard_map(
+                _run, mesh=mesh, in_specs=(P(), P(batch_axis)),
+                out_specs=P(batch_axis), check_vma=False)
+            self._forward = jax.jit(sharded)
 
     @classmethod
     def from_model(cls, model: nnx.Module, **kwargs) -> "Predictor":

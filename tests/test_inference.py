@@ -286,3 +286,46 @@ class TestPredictor:
         # model of the restored weights exactly
         expected = deploy(model, use_pallas=False)(x)
         np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+class TestMeshPredictor:
+    """Multi-chip serving: Predictor(mesh=...) splits batches over the data
+    axis with shard_map (weights replicated, no collectives in the
+    forward). Runs on the virtual 8-device CPU mesh (conftest)."""
+
+    def _build(self):
+        from bnn_tpu import models
+        m = models.resnet18(num_classes=10, rngs=nnx.Rngs(0))
+        m = prepare_binary_model(
+            m,
+            bconfig=BConfig(
+                activation_pre_process=BasicInputBinarizer.with_args(
+                    zero_to_one=True),
+                activation_post_process=BasicScaleBinarizer,
+                weight_pre_process=XNORWeightBinarizer,
+            ),
+            ignore_layers_name=["_first_", "_last_"])
+        m.eval()
+        return m
+
+    def test_sharded_matches_single_device(self):
+        from bnn_tpu.inference import Predictor
+        from bnn_tpu.parallel import make_mesh
+        x = jax.random.normal(jax.random.key(31), (6, 32, 32, 3))
+        ref = Predictor.from_model(self._build(), batch_size=8,
+                                   dtype=jnp.float32, use_pallas=False)(x)
+        mesh = make_mesh(data=len(jax.devices()), model=1)
+        pred = Predictor.from_model(self._build(), batch_size=8,
+                                    dtype=jnp.float32, use_pallas=False,
+                                    mesh=mesh)
+        out = pred(x)
+        assert out.shape == (6, 10)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_batch_must_divide_mesh(self):
+        from bnn_tpu.inference import Predictor
+        from bnn_tpu.parallel import make_mesh
+        mesh = make_mesh(data=len(jax.devices()), model=1)
+        with pytest.raises(AssertionError):
+            Predictor.from_model(self._build(), batch_size=6,
+                                 use_pallas=False, mesh=mesh)
