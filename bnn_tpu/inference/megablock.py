@@ -53,12 +53,13 @@ from .. import nn
 from ..binarize import named_modules, set_module_by_name
 from ..kernels.block import fused_basic_block
 from ..kernels.packing import unpack_bits
+from ..kernels.bottleneck import fused_bottleneck
 from ..kernels.strided_block import fused_downsample_block
-from ..models.layers import BasicBlock, PreBasicBlock
+from ..models.layers import BasicBlock, Bottleneck, PreBasicBlock
 from .deploy import DeployedConv
 from .optimize import fold_bn_after
 
-__all__ = ["fuse_blocks", "FusedBlock", "FusedDownBlock",
+__all__ = ["fuse_blocks", "FusedBlock", "FusedDownBlock", "FusedBottleneck",
            "default_fuse_predicate"]
 
 
@@ -204,6 +205,95 @@ class FusedDownBlock(nnx.Module):
             zero_to_one=getattr(b.conv1, "zero_to_one", False),
             out_dtype=x.dtype, interpret=self.interpret,
         )
+
+
+class FusedBottleneck(nnx.Module):
+    """Megakernel execution of a deployed stride-1 Bottleneck (ResNet-50).
+
+    Holds the original block (same weight arrays) for the large-batch
+    path and for checkpoint round-trips.
+    """
+
+    def __init__(self, block, *, max_fused_batch: int = 4,
+                 interpret: bool = False):
+        self.block = block
+        self.max_fused_batch = max_fused_batch
+        self.interpret = interpret
+
+    def __call__(self, x):
+        b = self.block
+        if x.shape[0] > self.max_fused_batch:
+            return b(x)
+        kinds, slopes = zip(*(_act_kind(a) for a in (b.act1, b.act2,
+                                                     b.act3)))
+
+        def thr(conv):
+            return conv.threshold[...] if conv.threshold is not None else None
+
+        def slope(s):
+            return s[...] if s is not None else None
+
+        return fused_bottleneck(
+            x,
+            _conv_weight_int8(b.conv1),
+            _conv_weight_int8(b.conv2),
+            _conv_weight_int8(b.conv3),
+            b.conv1.scale[...], b.conv1.add[...],
+            b.conv2.scale[...], b.conv2.add[...],
+            b.conv3.scale[...], b.conv3.add[...],
+            act=kinds,
+            prelu1=slope(slopes[0]), prelu2=slope(slopes[1]),
+            prelu3=slope(slopes[2]),
+            threshold1=thr(b.conv1), threshold2=thr(b.conv2),
+            threshold3=thr(b.conv3),
+            zero_to_one=getattr(b.conv1, "zero_to_one", False),
+            out_dtype=x.dtype, interpret=self.interpret,
+        )
+
+
+def _pointwise_deployed(conv) -> bool:
+    return (isinstance(conv, DeployedConv)
+            and conv.mode in ("conv", "gemm", "im2col")
+            and tuple(conv.kernel_size) == (1, 1)
+            and tuple(F._ntuple(conv.stride, 2)) == (1, 1)
+            and conv.spatial_post is None)
+
+
+def _eligible_bottleneck(block) -> bool:
+    if not isinstance(block, Bottleneck) or block.downsample is not None:
+        return False
+    if not (_pointwise_deployed(block.conv1)
+            and _pointwise_deployed(block.conv3)):
+        return False
+    c2 = block.conv2
+    if not (isinstance(c2, DeployedConv) and c2.mode == "conv"
+            and tuple(c2.kernel_size) == (3, 3)
+            and tuple(F._ntuple(c2.stride, 2)) == (1, 1)
+            and tuple(F._ntuple(c2.dilation, 2)) == (1, 1)
+            and not isinstance(c2.padding, str)
+            and tuple(F._ntuple(c2.padding, 2)) == (1, 1)
+            and c2.in_channels == c2.out_channels
+            and c2.spatial_post is None):
+        return False
+    if block.conv1.in_channels != block.conv3.out_channels:
+        return False  # identity residual needs matching channels
+    z = getattr(block.conv1, "zero_to_one", False)
+    if any(getattr(cv, "zero_to_one", False) != z
+           for cv in (block.conv2, block.conv3)):
+        return False
+    if any(_act_kind(a)[0] is None for a in (block.act1, block.act2,
+                                             block.act3)):
+        return False
+    for ci, bi in (("conv1", "bn1"), ("conv2", "bn2"), ("conv3", "bn3")):
+        bn = getattr(block, bi)
+        if isinstance(bn, nn.Identity):
+            continue
+        if isinstance(bn, nn.BatchNorm2d) and fold_bn_after(
+                getattr(block, ci), bn):
+            setattr(block, bi, nn.Identity())
+            continue
+        return False
+    return True
 
 
 def _downsample_parts(block):
@@ -371,7 +461,7 @@ def fuse_blocks(model: nnx.Module, *, max_fused_batch: int = 4,
     fused = 0
     wrapped = []  # don't descend into fused blocks (their .block stays live)
     for name, m in list(named_modules(model)):
-        if isinstance(m, (FusedBlock, FusedDownBlock)):
+        if isinstance(m, (FusedBlock, FusedDownBlock, FusedBottleneck)):
             wrapped.append(name + ".")
             continue
         if any(name.startswith(p) for p in wrapped):
@@ -385,6 +475,10 @@ def fuse_blocks(model: nnx.Module, *, max_fused_batch: int = 4,
             set_module_by_name(model, name, FusedBlock(
                 m, max_fused_batch=max_fused_batch, fuse_when=fuse_when,
                 pre=True, taps_per_dot=taps_per_dot, interpret=interpret))
+            fused += 1
+        elif _eligible_bottleneck(m):
+            set_module_by_name(model, name, FusedBottleneck(
+                m, max_fused_batch=max_fused_batch, interpret=interpret))
             fused += 1
         elif _eligible_down(m) and (strided or isinstance(m, PreBasicBlock)):
             set_module_by_name(model, name, FusedDownBlock(
