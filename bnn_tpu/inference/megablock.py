@@ -233,6 +233,11 @@ class FusedBottleneck(nnx.Module):
         def slope(s):
             return s[...] if s is not None else None
 
+        kw = {}
+        if b.downsample is not None:  # stride-1 projection shortcut
+            dconv = b.downsample[1]
+            kw = dict(wd=_conv_weight_int8(dconv), scaled=dconv.scale[...],
+                      addd=dconv.add[...], thresholdd=thr(dconv))
         return fused_bottleneck(
             x,
             _conv_weight_int8(b.conv1),
@@ -247,7 +252,7 @@ class FusedBottleneck(nnx.Module):
             threshold1=thr(b.conv1), threshold2=thr(b.conv2),
             threshold3=thr(b.conv3),
             zero_to_one=getattr(b.conv1, "zero_to_one", False),
-            out_dtype=x.dtype, interpret=self.interpret,
+            out_dtype=x.dtype, interpret=self.interpret, **kw,
         )
 
 
@@ -260,8 +265,26 @@ def _pointwise_deployed(conv) -> bool:
 
 
 def _eligible_bottleneck(block) -> bool:
-    if not isinstance(block, Bottleneck) or block.downsample is not None:
+    if not isinstance(block, Bottleneck):
         return False
+    dconv = dbn = None
+    if block.downsample is not None:
+        # stride-1 projection: AvgPool(k=s=1) (a no-op) -> 1x1 conv -> BN
+        ds = block.downsample
+        if not (isinstance(ds, nn.Sequential) and len(ds) == 3):
+            return False
+        ap, dconv, dbn = ds[0], ds[1], ds[2]
+        ap_stride = ap.stride if getattr(ap, "stride", None) is not None \
+            else getattr(ap, "kernel_size", None)
+        if not (isinstance(ap, nn.AvgPool2d)
+                and tuple(F._ntuple(ap.kernel_size, 2)) == (1, 1)
+                and tuple(F._ntuple(ap_stride, 2)) == (1, 1)):
+            return False
+        if not _pointwise_deployed(dconv):
+            return False
+        if getattr(dconv, "zero_to_one", False) != getattr(
+                block.conv1, "zero_to_one", False):
+            return False
     if not (_pointwise_deployed(block.conv1)
             and _pointwise_deployed(block.conv3)):
         return False
@@ -275,7 +298,8 @@ def _eligible_bottleneck(block) -> bool:
             and c2.in_channels == c2.out_channels
             and c2.spatial_post is None):
         return False
-    if block.conv1.in_channels != block.conv3.out_channels:
+    if block.downsample is None \
+            and block.conv1.in_channels != block.conv3.out_channels:
         return False  # identity residual needs matching channels
     z = getattr(block.conv1, "zero_to_one", False)
     if any(getattr(cv, "zero_to_one", False) != z
@@ -293,6 +317,11 @@ def _eligible_bottleneck(block) -> bool:
             setattr(block, bi, nn.Identity())
             continue
         return False
+    if dbn is not None and not isinstance(dbn, nn.Identity):
+        if isinstance(dbn, nn.BatchNorm2d) and fold_bn_after(dconv, dbn):
+            block.downsample[2] = nn.Identity()
+        else:
+            return False
     return True
 
 

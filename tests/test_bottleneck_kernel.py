@@ -71,6 +71,27 @@ class TestFusedBottleneckKernel:
                                    interpret=True, **kw)
             np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
+    def test_projection_shortcut(self):
+        # ResNet-50 layer1.0: stride 1, channels change, 1x1 projection
+        ks = jax.random.split(jax.random.key(9), 10)
+        c, cout, width = 8, 32, 8
+        x = jax.random.normal(ks[0], (2, 8, 8, c)) + 0.01
+        args = (x, _pm1(ks[1], (1, 1, c, width)),
+                _pm1(ks[2], (3, 3, width, width)),
+                _pm1(ks[3], (1, 1, width, cout)),
+                jax.random.normal(ks[4], (width,)) * 0.1 + 1, None,
+                None, None,
+                jax.random.normal(ks[5], (cout,)) * 0.1 + 1, None)
+        kw = dict(wd=_pm1(ks[6], (1, 1, c, cout)),
+                  scaled=jax.random.normal(ks[7], (cout,)) * 0.1 + 1,
+                  addd=jax.random.normal(ks[8], (cout,)) * 0.1,
+                  thresholdd=jax.random.normal(ks[9], (c,)) * 0.05,
+                  act="prelu", zero_to_one=False)
+        ref = fused_bottleneck_reference(*args, **kw)
+        got = fused_bottleneck(*args, interpret=True, **kw)
+        assert got.shape[-1] == cout
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
     def test_mixed_acts_and_odd_h(self):
         args, kw = _case(1, 7, 8, 16, 8, seed=2)
         ref = fused_bottleneck_reference(
@@ -124,6 +145,6 @@ class TestFuseBottleneckPass:
         x = jax.random.normal(jax.random.key(4), (1, 32, 32, 3)) + 0.01
         want = build_dep()(x)
         dep = build_dep()
-        # 16 blocks - 4 with projection shortcuts (layer1.0 + 3 strided)
-        assert fuse_blocks(dep, interpret=True) == 12
+        # 16 blocks - 3 strided (layer1.0's stride-1 projection fuses too)
+        assert fuse_blocks(dep, interpret=True) == 13
         np.testing.assert_allclose(dep(x), want, rtol=1e-5, atol=1e-5)
