@@ -24,7 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "shard_state",
-           "shard_model", "DEFAULT_TP_RULES"]
+           "shard_model", "shard_optimizer_zero1", "DEFAULT_TP_RULES"]
 
 
 def make_mesh(data: Optional[int] = None, model: int = 1,
@@ -116,6 +116,38 @@ def shard_state(state, mesh: Mesh, rules=DEFAULT_TP_RULES, min_size: int = 1024)
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map_with_path(_assign, state)
+
+
+def shard_optimizer_zero1(optimizer, mesh: Mesh, axis: str = "data",
+                          min_size: int = 1024):
+    """ZeRO-1 optimizer-state sharding over the data axis.
+
+    The reference has no ZeRO/FSDP of any kind (SURVEY.md §2.3). Here the
+    optimizer moments (``opt_state`` subtree: Adam ``mu``/``nu`` etc.) are
+    sharded row-wise over ``axis``; params and gradients stay replicated
+    (gradients are already psum'd by GSPMD), so the moment update runs
+    ``1/axis_size`` of the elementwise FLOPs per device and stores
+    ``1/axis_size`` of the moment HBM, at the cost of one all-gather of the
+    parameter update — exactly ZeRO stage 1. XLA inserts the collectives
+    from the shardings; no manual reduce-scatter is written.
+
+    Mutates ``optimizer`` in place and returns it.
+    """
+    n = mesh.shape[axis]
+
+    def _assign(path, x):
+        if not hasattr(x, "ndim"):
+            return x
+        name = _path_str(path)
+        if (n > 1 and "opt_state" in name and x.ndim >= 1
+                and x.size >= min_size and x.shape[0] % n == 0):
+            spec = P(axis, *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    state = nnx.state(optimizer)
+    nnx.update(optimizer, jax.tree_util.tree_map_with_path(_assign, state))
+    return optimizer
 
 
 def shard_model(obj, mesh: Mesh, rules=DEFAULT_TP_RULES, min_size: int = 1024):

@@ -67,7 +67,7 @@ def _mixed_forward(model, x, compute_dtype):
 
 def make_train_step(loss_fn: Callable = _default_loss,
                     aux_weight: float = 0.0, remat: bool = False,
-                    compute_dtype=None) -> Callable:
+                    compute_dtype=None, accum_steps: int = 1) -> Callable:
     """Build a jitted train step.
 
     Returns ``step(model, optimizer, x, y) -> metrics`` (metrics: ``loss``,
@@ -86,31 +86,62 @@ def make_train_step(loss_fn: Callable = _default_loss,
     f32 (see :func:`_mixed_forward`). The loss itself is always computed in
     f32. The reference has no mixed-precision path (plain fp32 throughout,
     examples/imagenet.py:192-204) — this is a TPU-native addition.
+
+    ``accum_steps=N`` enables gradient accumulation (also absent from the
+    reference, SURVEY.md §2.3): the batch is split into N equal microbatches,
+    per-microbatch gradients are averaged, and the optimizer applies ONE
+    update — the effective batch is the full ``x`` while peak activation
+    memory is that of ``batch/N``. For mean-reduced losses on BN-free models
+    this is numerically the full-batch gradient; with BatchNorm the stats are
+    per-microbatch (standard accumulation semantics).
     """
+
+    def _loss(model, x, y):
+        if compute_dtype is not None:
+            fwd = lambda m, v: _mixed_forward(m, v, compute_dtype)  # noqa: E731
+        else:
+            fwd = lambda m, v: m(v)  # noqa: E731
+        if remat:
+            out = nnx.remat(fwd)(model, x)
+        else:
+            out = fwd(model, x)
+        logits = _logits_of(out)
+        loss = loss_fn(_as_f32(logits), y)
+        if aux_weight and isinstance(out, tuple) and out[1] is not None:
+            loss = loss + aux_weight * loss_fn(_as_f32(out[1]), y)
+        return loss, logits
 
     @nnx.jit
     def step(model, optimizer, x, y):
-        def _loss(model):
-            if compute_dtype is not None:
-                fwd = lambda m, v: _mixed_forward(m, v, compute_dtype)  # noqa: E731
-            else:
-                fwd = lambda m, v: m(v)  # noqa: E731
-            if remat:
-                out = nnx.remat(fwd)(model, x)
-            else:
-                out = fwd(model, x)
-            logits = _logits_of(out)
-            loss = loss_fn(_as_f32(logits), y)
-            if aux_weight and isinstance(out, tuple) and out[1] is not None:
-                loss = loss + aux_weight * loss_fn(_as_f32(out[1]), y)
-            return loss, logits
-
-        (loss, logits), grads = nnx.value_and_grad(_loss, has_aux=True)(model)
+        (loss, logits), grads = nnx.value_and_grad(_loss, has_aux=True)(
+            model, x, y)
         optimizer.update(model, grads)
         top1 = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
         return {"loss": loss, "top1": top1}
 
-    return step
+    @nnx.jit
+    def accum_step(model, optimizer, x, y):
+        assert x.shape[0] % accum_steps == 0, (x.shape, accum_steps)
+        xs = x.reshape(accum_steps, -1, *x.shape[1:])
+        ys = y.reshape(accum_steps, -1)
+        total_grads = None
+        loss_sum = jnp.float32(0)
+        top1_sum = jnp.float32(0)
+        # static unroll: accum_steps is a Python int, each microbatch shares
+        # the same compiled forward/backward body via XLA CSE
+        for i in range(accum_steps):
+            (loss, logits), grads = nnx.value_and_grad(
+                _loss, has_aux=True)(model, xs[i], ys[i])
+            total_grads = grads if total_grads is None else jax.tree.map(
+                jnp.add, total_grads, grads)
+            loss_sum = loss_sum + loss
+            top1_sum = top1_sum + jnp.mean(
+                (jnp.argmax(logits, -1) == ys[i]).astype(jnp.float32))
+        grads = jax.tree.map(lambda g: g / accum_steps, total_grads)
+        optimizer.update(model, grads)
+        return {"loss": loss_sum / accum_steps, "top1": top1_sum / accum_steps}
+
+    return step if accum_steps == 1 else accum_step
 
 
 def _as_f32(x):

@@ -221,3 +221,146 @@ def test_remat_train_step_matches_plain():
     for a, b in zip(p0, p1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestPipelineParallel:
+    """GPipe-style pipeline over the 'pipe' mesh axis (new capability — the
+    reference has no PP at all, SURVEY.md §2.3)."""
+
+    @staticmethod
+    def _stages(n, width=16, seed=0):
+        from bnn_tpu import layers
+        stages = []
+        for i in range(n):
+            stages.append(layers.Linear(width, width, bconfig=BC,
+                                        rngs=nnx.Rngs(seed + i)))
+        return stages
+
+    def test_pipeline_matches_sequential(self):
+        from bnn_tpu.parallel import (
+            make_pipeline_mesh, make_stage_fn, pipeline_apply,
+            shard_stacked_state, stack_stage_states,
+        )
+        stages = self._stages(4)
+        mesh = make_pipeline_mesh(pipe=4, data=2)
+        stacked = shard_stacked_state(stack_stage_states(stages), mesh)
+        fn = make_stage_fn(stages[0])
+        x = jax.random.normal(jax.random.key(5), (16, 16))
+
+        y_pipe = jax.jit(
+            lambda st, v: pipeline_apply(fn, st, v, mesh=mesh,
+                                         n_microbatches=4))(stacked, x)
+        y_seq = x
+        for s in stages:
+            y_seq = s(y_seq)
+        np.testing.assert_allclose(np.asarray(y_pipe), np.asarray(y_seq),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_pipeline_single_microbatch_and_many(self):
+        from bnn_tpu.parallel import (
+            make_pipeline_mesh, make_stage_fn, pipeline_apply,
+            shard_stacked_state, stack_stage_states,
+        )
+        stages = self._stages(2, width=8, seed=7)
+        mesh = make_pipeline_mesh(pipe=2, data=4)
+        stacked = shard_stacked_state(stack_stage_states(stages), mesh)
+        fn = make_stage_fn(stages[0])
+        x = jax.random.normal(jax.random.key(6), (16, 8))
+        y_seq = stages[1](stages[0](x))
+        for n_micro in (1, 2, 4):
+            y = pipeline_apply(fn, stacked, x, mesh=mesh,
+                               n_microbatches=n_micro)
+            np.testing.assert_allclose(np.asarray(y), np.asarray(y_seq),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_pipeline_backward(self):
+        """jax.grad through the pipeline schedule equals the sequential
+        gradient (GPipe backward for free via scan/ppermute transposes)."""
+        from bnn_tpu.parallel import (
+            make_pipeline_mesh, make_stage_fn, pipeline_apply,
+            shard_stacked_state, stack_stage_states,
+        )
+        stages = self._stages(4, width=8, seed=3)
+        mesh = make_pipeline_mesh(pipe=4, data=2)
+        stacked_host = stack_stage_states(stages)
+        stacked = shard_stacked_state(stacked_host, mesh)
+        fn = make_stage_fn(stages[0])
+        x = jax.random.normal(jax.random.key(8), (8, 8))
+
+        def loss_pipe(st):
+            y = pipeline_apply(fn, st, x, mesh=mesh, n_microbatches=2)
+            return jnp.sum(y ** 2)
+
+        def loss_seq(st):
+            h = x
+            for i in range(4):
+                hi = jax.tree.map(lambda p: p[i], st)
+                h = fn(hi, h)
+            return jnp.sum(h ** 2)
+
+        g_pipe = jax.grad(loss_pipe)(stacked)
+        g_seq = jax.grad(loss_seq)(stacked_host)
+        for a, b in zip(jax.tree.leaves(g_pipe), jax.tree.leaves(g_seq)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+class TestGradAccumulation:
+    def test_accum_matches_full_batch_on_bn_free_model(self):
+        from bnn_tpu import layers
+
+        def build():
+            rngs = nnx.Rngs(0)
+            net = nn.Sequential(
+                layers.Linear(12, 32, bconfig=BC, rngs=rngs),
+                nn.PReLU(32, rngs=rngs),
+                layers.Linear(32, 10, bconfig=BC, rngs=rngs),
+            )
+            return net
+
+        x = jax.random.normal(jax.random.key(11), (16, 12))
+        y = jax.random.randint(jax.random.key(12), (16,), 0, 10)
+
+        def run(accum):
+            model = build()
+            opt = nnx.Optimizer(model, optax.sgd(0.1), wrt=nnx.Param)
+            step = make_train_step(accum_steps=accum)
+            m = step(model, opt, x, y)
+            return float(m["loss"]), [np.asarray(p) for p in
+                                      jax.tree.leaves(nnx.state(model, nnx.Param))]
+
+        l1, p1 = run(1)
+        l4, p4 = run(4)
+        np.testing.assert_allclose(l1, l4, rtol=1e-5)
+        for a, b in zip(p1, p4):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+class TestZero1:
+    def test_opt_state_sharded_params_replicated(self):
+        from bnn_tpu.parallel import shard_optimizer_zero1
+
+        mesh = make_mesh()  # data=8
+        model = make_model()
+        model.train()
+        opt = nnx.Optimizer(model, optax.adamw(1e-3), wrt=nnx.Param)
+        shard_model(model, mesh)
+        shard_optimizer_zero1(opt, mesh, min_size=64)
+
+        flat = jax.tree_util.tree_leaves_with_path(nnx.state(opt))
+        sharded = [(jax.tree_util.keystr(p), x) for p, x in flat
+                   if hasattr(x, "sharding") and "opt_state" in
+                   jax.tree_util.keystr(p) and x.size >= 64
+                   and x.shape and x.shape[0] % 8 == 0]
+        assert sharded
+        assert any(x.sharding.spec and x.sharding.spec[0] == "data"
+                   for _, x in sharded)
+
+        # training still runs and converges numerically like the replicated
+        # version for one step
+        x = jax.random.normal(jax.random.key(13), (16, 8, 8, 3))
+        y = jax.random.randint(jax.random.key(14), (16,), 0, 10)
+        x, y = shard_batch((x, y), mesh)
+        step = make_train_step()
+        m = step(model, opt, x, y)
+        assert np.isfinite(float(m["loss"]))
