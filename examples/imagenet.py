@@ -82,6 +82,14 @@ def parse_args():
                    help="override synthetic epoch length")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="size of the tensor-parallel mesh axis")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient-accumulation microbatches per step")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard optimizer moments over the data axis (ZeRO-1)")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed-precision QAT: bf16 compute, f32 masters")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize activations in the backward pass")
     # multi-host rendezvous (replaces --dist-url/--dist-backend,
     # reference imagenet.py:69-72)
     p.add_argument("--coordinator", default=None, help="host0 ip:port")
@@ -194,8 +202,14 @@ def main():
     model.train()
     shard_model(model, mesh)
     shard_model(optimizer, mesh)
+    if args.zero1:
+        from bnn_tpu.parallel import shard_optimizer_zero1
+        shard_optimizer_zero1(optimizer, mesh)
 
-    train_step = make_train_step()
+    train_step = make_train_step(
+        accum_steps=args.accum_steps,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        remat=args.remat)
     eval_step = make_eval_step()
 
     start_epoch, best_acc1 = 0, 0.0

@@ -51,3 +51,14 @@ def test_imagenet_with_native_loader(tmp_path, monkeypatch, capsys):
           "--out", str(tmp_path / "inet")], monkeypatch)
     out = capsys.readouterr().out
     assert "Acc@1" in out
+
+
+def test_imagenet_accum_zero1(tmp_path, monkeypatch, capsys):
+    """--accum-steps + --zero1 flags run end to end on the virtual mesh."""
+    _run("examples/imagenet.py",
+         ["--synthetic", "--epochs", "1", "--batch-size", "16",
+          "--step", "0", "--image-size", "32", "--steps-per-epoch", "2",
+          "--print-freq", "1", "--accum-steps", "2", "--zero1",
+          "--out", str(tmp_path / "inet")], monkeypatch)
+    out = capsys.readouterr().out
+    assert "Acc@1" in out
