@@ -26,6 +26,9 @@ def log(*a):
 
 
 def main():
+    from bnn_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     from flax import nnx
     from bnn_tpu import BConfig, models, prepare_binary_model
     from bnn_tpu.inference import deploy, model_weight_bytes
@@ -43,24 +46,34 @@ def main():
     batch, size, iters = (64, 224, 30) if on_tpu else (8, 64, 5)
     rounds = 2 if on_tpu else 1
 
+    cpu = jax.devices("cpu")[0]
+
     def build():
-        m = models.resnet18(num_classes=1000, rngs=nnx.Rngs(0))
-        m = prepare_binary_model(
-            m,
-            bconfig=BConfig(
-                activation_pre_process=BasicInputBinarizer.with_args(
-                    zero_to_one=True),
-                activation_post_process=BasicScaleBinarizer,
-                weight_pre_process=XNORWeightBinarizer,
-            ),
-            ignore_layers_name=["_first_", "_last_"],
-        )
-        m.eval()
+        # init on CPU: parameter initialization is hundreds of tiny ops,
+        # which over the remote-TPU tunnel cost a round trip each
+        with jax.default_device(cpu):
+            m = models.resnet18(num_classes=1000, rngs=nnx.Rngs(0))
+            m = prepare_binary_model(
+                m,
+                bconfig=BConfig(
+                    activation_pre_process=BasicInputBinarizer.with_args(
+                        zero_to_one=True),
+                    activation_post_process=BasicScaleBinarizer,
+                    weight_pre_process=XNORWeightBinarizer,
+                ),
+                ignore_layers_name=["_first_", "_last_"],
+            )
+            m.eval()
+        return m
+
+    def to_bench_device(m):
+        # bulk-transfer the whole state in one hop
+        nnx.update(m, jax.device_put(nnx.state(m), dev))
         return m
 
     x = jax.random.normal(jax.random.key(0), (batch, size, size, 3))
 
-    qat_model = build()
+    qat_model = to_bench_device(build())
     gq, sq = nnx.split(qat_model)
     t0 = time.time()
     t_qat = loop_time(lambda v: nnx.merge(gq, sq)(v), x, iters=iters, rounds=rounds)
@@ -71,6 +84,7 @@ def main():
     x16 = x.astype(jnp.bfloat16)
     dep_i8 = deploy(build(), use_pallas=on_tpu, weight_format="int8")
     cast_floats(dep_i8, jnp.bfloat16)
+    to_bench_device(dep_i8)
     gi, si = nnx.split(dep_i8)
     t_i8 = loop_time(lambda v: nnx.merge(gi, si)(v), x16, iters=iters,
                      rounds=rounds)
@@ -92,6 +106,7 @@ def main():
         fuse_stem(dep_s)
         fuse_blocks(dep_s, max_fused_batch=4)
     cast_floats(dep_s, jnp.bfloat16)
+    to_bench_device(dep_s)
     gs, ss = nnx.split(dep_s)
     x1 = x16[:1]
     t_1 = loop_time(lambda v: nnx.merge(gs, ss)(v), x1,

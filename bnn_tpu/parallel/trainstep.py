@@ -54,7 +54,7 @@ def _mixed_forward(model, x, compute_dtype):
     """
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
     m = nnx.merge(graphdef, _cast_float_tree(params, compute_dtype), rest)
-    for _, mod in m.iter_modules():
+    for _, mod in nnx.iter_modules(m):
         # flax norm/linear convention: modules with a promote_dtype carry a
         # `dtype` knob meaning "compute/result dtype" (None = promote inputs)
         if getattr(mod, "promote_dtype", None) is not None \

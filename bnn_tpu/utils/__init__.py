@@ -2,6 +2,7 @@ from .meters import AverageMeter, ProgressMeter, accuracy, count_parameters
 from .checkpoint import save_checkpoint, load_checkpoint, restore_into
 from .flops import OpCount, count_ops
 from .precision import cast_floats
+from .cache import enable_compilation_cache
 from .profiling import compiled_stats, trace
 from .timing import loop_time
 from .debug import assert_finite, checkify_errors, debug_nans
@@ -20,6 +21,7 @@ __all__ = [
     "OpCount",
     "count_ops",
     "cast_floats",
+    "enable_compilation_cache",
     "compiled_stats",
     "trace",
     "loop_time",

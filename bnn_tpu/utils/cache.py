@@ -1,0 +1,32 @@
+"""Persistent XLA compilation cache.
+
+Over the remote-TPU tunnel a big graph compiles in 30-90s; bench.py has
+four of them. Enabling JAX's on-disk executable cache makes every rerun of
+the same graph (same jax version, flags, topology) near-instant, which
+keeps benchmark scripts inside their time budget. Safe no-op where the
+backend doesn't support serialization (JAX logs and skips).
+"""
+from __future__ import annotations
+
+import os
+
+__all__ = ["enable_compilation_cache"]
+
+_DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    """Turn on the persistent compilation cache (idempotent).
+
+    Call before the first ``jit`` compilation. Returns the cache dir.
+    """
+    import jax
+
+    path = path or os.environ.get("BNN_TPU_JAX_CACHE", _DEFAULT_DIR)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache everything that takes meaningful time; tiny graphs stay uncached
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path
