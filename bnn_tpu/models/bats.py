@@ -1,12 +1,17 @@
 """BATS: Binary Architecture Search networks (ECCV'20).
 
-Cell-based genotype networks, channels-last re-implementation of reference
-bnn/models/bats.py. Stochastic behaviors (drop-path, shake-shake) are driven
-by an NNX RNG stream and gated on ``self.deterministic`` (flipped by
-``model.train()`` / ``model.eval()``), replacing torch's implicit
-``self.training`` and global RNG.
+Cell-based genotype networks, channels-last re-implementation of the
+capability of reference bnn/models/bats.py. The two public networks share
+one trunk implementation (`_CellNetwork`): a stack of genotype-compiled
+cells with channel doubling + reduction at the 1/3 and 2/3 depth marks, an
+optional auxiliary classifier tapped at the 2/3 mark, and a pooled linear
+head. They differ only in their stems and pooling, which the reference
+spells out twice (bnn/models/bats.py:108-151 vs :154-206) and we don't.
 
-Set ``model.drop_path_prob`` between epochs exactly like the reference
+Stochastic behaviors (drop-path, shake-shake) draw from an NNX RNG stream
+and are gated on ``self.deterministic`` (flipped by ``model.train()`` /
+``model.eval()``), replacing torch's implicit ``self.training`` and global
+RNG. Set ``model.drop_path_prob`` between epochs exactly like the reference
 (bnn/models/bats.py:145, 200).
 """
 from __future__ import annotations
@@ -43,78 +48,76 @@ BATS_EXAMPLE = Genotype(
 
 
 class Cell(nnx.Module):
-    def __init__(self, genotype: Genotype, C_prev_prev: int, C_prev: int, C: int,
-                 reduction: bool, reduction_prev: bool, groups: int = 12,
-                 use_shake_shake: bool = False, *, rngs: nnx.Rngs):
+    """One genotype-compiled DAG cell.
+
+    Each intermediate node sums two op-transformed predecessor states; the
+    cell output concatenates the genotype's ``concat`` nodes along channels
+    (so ``multiplier = len(concat)`` times C output channels). Reduction
+    cells stride-2 every op that reads a cell input.
+    """
+
+    def __init__(self, genotype: Genotype, C_prev_prev: int, C_prev: int,
+                 C: int, reduction: bool, reduction_prev: bool,
+                 groups: int = 12, use_shake_shake: bool = False, *,
+                 rngs: nnx.Rngs):
         self.use_shake_shake = use_shake_shake
         self.deterministic = True
         self.rngs = rngs
-        if reduction_prev:
-            self.preprocess0 = FactorizedReduce(C_prev_prev, C, rngs=rngs)
-        else:
-            self.preprocess0 = ReLUConvBN(C_prev_prev, C, 1, 1, 0, rngs=rngs)
+        # inputs arrive at different resolutions when the previous cell
+        # reduced: align s0 with a factorized reduce, else a 1x1 ReLUConvBN
+        self.preprocess0 = (
+            FactorizedReduce(C_prev_prev, C, rngs=rngs) if reduction_prev
+            else ReLUConvBN(C_prev_prev, C, 1, 1, 0, rngs=rngs))
         self.preprocess1 = ReLUConvBN(C_prev, C, 1, 1, 0, rngs=rngs)
-        if reduction:
-            op_names, indices = zip(*genotype.reduce)
-            concat = genotype.reduce_concat
-        else:
-            op_names, indices = zip(*genotype.normal)
-            concat = genotype.normal_concat
-        self._compile(C, op_names, indices, concat, reduction, groups, rngs)
 
-    def _compile(self, C, op_names, indices, concat, reduction, groups, rngs):
-        assert len(op_names) == len(indices)
-        self._steps = len(op_names) // 2
-        self._concat = list(concat)
-        self.multiplier = len(concat)
+        edges = list(genotype.reduce if reduction else genotype.normal)
+        self._concat = list(genotype.reduce_concat if reduction
+                            else genotype.normal_concat)
+        self.multiplier = len(self._concat)
+        self._steps = len(edges) // 2
+        self._indices = [src for _, src in edges]
         self._ops = nn.ModuleList()
-        for name, index in zip(op_names, indices):
-            stride = 2 if reduction and index < 2 else 1
-            self._ops.append(OPS[name](C, stride, True, True, groups, rngs))
-        self._indices = list(indices)
+        for op_name, src in edges:
+            stride = 2 if reduction and src < 2 else 1
+            self._ops.append(OPS[op_name](C, stride, True, True, groups, rngs))
+
+    def _edge(self, op, state: jax.Array, drop_prob: float) -> jax.Array:
+        h = op(state)
+        if (drop_prob > 0.0 and not self.deterministic
+                and not isinstance(op, nn.Identity)):
+            h = drop_path(h, drop_prob, self.rngs.dropout())
+        return h
+
+    def _gather(self, states: List[jax.Array]) -> jax.Array:
+        outs = [states[i] for i in self._concat]
+        if self.use_shake_shake:
+            if self.deterministic:
+                outs = [o / len(outs) for o in outs]
+            else:
+                mix = jax.nn.softmax(jax.random.uniform(
+                    self.rngs.dropout(), (len(outs),)))
+                outs = [o * mix[j] for j, o in enumerate(outs)]
+        return jnp.concatenate(outs, axis=-1)
 
     def __call__(self, s0: jax.Array, s1: jax.Array,
                  drop_prob: float = 0.0) -> jax.Array:
-        s0 = self.preprocess0(s0)
-        s1 = self.preprocess1(s1)
-
-        states = [s0, s1]
+        states = [self.preprocess0(s0), self.preprocess1(s1)]
         for i in range(self._steps):
-            h1 = states[self._indices[2 * i]]
-            h2 = states[self._indices[2 * i + 1]]
-            op1 = self._ops[2 * i]
-            op2 = self._ops[2 * i + 1]
-            h1 = op1(h1)
-            h2 = op2(h2)
-            if not self.deterministic and drop_prob > 0.0:
-                if not isinstance(op1, nn.Identity):
-                    h1 = drop_path(h1, drop_prob, self.rngs.dropout())
-                if not isinstance(op2, nn.Identity):
-                    h2 = drop_path(h2, drop_prob, self.rngs.dropout())
-            states.append(h1 + h2)
-
-        if self.use_shake_shake:
-            if not self.deterministic:
-                shake = jax.nn.softmax(
-                    jax.random.uniform(self.rngs.dropout(), (len(self._concat),))
-                )
-                return jnp.concatenate(
-                    [states[i] * shake[j] for j, i in enumerate(self._concat)],
-                    axis=-1,
-                )
-            return jnp.concatenate(
-                [states[i] * (1.0 / len(self._concat)) for i in self._concat],
-                axis=-1,
-            )
-        return jnp.concatenate([states[i] for i in self._concat], axis=-1)
+            a, b = self._indices[2 * i], self._indices[2 * i + 1]
+            states.append(
+                self._edge(self._ops[2 * i], states[a], drop_prob)
+                + self._edge(self._ops[2 * i + 1], states[b], drop_prob))
+        return self._gather(states)
 
 
 class AuxiliaryHead(nnx.Module):
     """Auxiliary classifier head (reference: bnn/models/bats.py:86-105)."""
 
-    def __init__(self, C: int, num_classes: int, stride: int, *, rngs: nnx.Rngs):
+    def __init__(self, C: int, num_classes: int, stride: int, *,
+                 rngs: nnx.Rngs):
         self.features = nn.Sequential(
-            nn.AvgPool2d(5, stride=stride, padding=0, count_include_pad=False),
+            nn.AvgPool2d(5, stride=stride, padding=0,
+                         count_include_pad=False),
             nn.BatchNorm2d(C, rngs=rngs),
             nn.Conv2d(C, 128, 1, bias=False, rngs=rngs),
             nn.PReLU(num_parameters=128, rngs=rngs),
@@ -129,121 +132,113 @@ class AuxiliaryHead(nnx.Module):
         return self.classifier(x.reshape(x.shape[0], -1))
 
 
-class BATSNetworkCIFAR(nnx.Module):
-    """CIFAR-scale BATS network (reference: bnn/models/bats.py:108-151)."""
+class _CellNetwork(nnx.Module):
+    """Shared cell-stack trunk behind both BATS networks."""
+
+    # subclasses set: aux head's pooling stride
+    _aux_stride: int = 3
 
     def __init__(self, C: int, num_classes: int, layers: int, auxiliary: bool,
-                 genotype: Genotype, groups: int = 12, *,
-                 rngs: Optional[nnx.Rngs] = None):
-        rngs = rngs if rngs is not None else nnx.Rngs(0)
+                 genotype: Genotype, groups: int, chans_in: Tuple[int, int],
+                 reduction_prev: bool, rngs: nnx.Rngs):
         self._layers = layers
         self._auxiliary = auxiliary
+        self._aux_at = 2 * layers // 3
         self.deterministic = True
         self.drop_path_prob = 0.0
-        stem_multiplier = 3
-        C_curr = stem_multiplier * C
-        self.stem = nn.Sequential(
-            nn.Conv2d(3, C_curr, 3, padding=1, bias=False, rngs=rngs),
-            nn.BatchNorm2d(C_curr, rngs=rngs),
-            nn.ReLU(),
-        )
-        C_prev_prev, C_prev, C_curr = C_curr, C_curr, C
+
         self.cells = nn.ModuleList()
-        reduction_prev = False
-        C_to_auxiliary = None
-        for i in range(layers):
-            if i in (layers // 3, 2 * layers // 3):
-                C_curr *= 2
-                reduction = True
-            else:
-                reduction = False
-            cell = Cell(genotype, C_prev_prev, C_prev, C_curr, reduction,
-                        reduction_prev, groups, rngs=rngs)
-            reduction_prev = reduction
+        c_pp, c_p = chans_in
+        c = C
+        aux_chans = None
+        for depth in range(layers):
+            reduction = depth in (layers // 3, self._aux_at)
+            if reduction:
+                c *= 2
+            cell = Cell(genotype, c_pp, c_p, c, reduction, reduction_prev,
+                        groups, rngs=rngs)
             self.cells.append(cell)
-            C_prev_prev, C_prev = C_prev, cell.multiplier * C_curr
-            if i == 2 * layers // 3:
-                C_to_auxiliary = C_prev
+            reduction_prev = reduction
+            c_pp, c_p = c_p, cell.multiplier * c
+            if depth == self._aux_at:
+                aux_chans = c_p
         if auxiliary:
-            self.auxiliary_head = AuxiliaryHead(C_to_auxiliary, num_classes, 3,
-                                                rngs=rngs)
-        self.global_pooling = nn.AdaptiveAvgPool2d(1)
-        self.classifier = nn.Linear(C_prev, num_classes, rngs=rngs)
+            self.auxiliary_head = AuxiliaryHead(
+                aux_chans, num_classes, self._aux_stride, rngs=rngs)
+        self.classifier = nn.Linear(c_p, num_classes, rngs=rngs)
+
+    def _stem_states(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        raise NotImplementedError
 
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, Optional[jax.Array]]:
+        s0, s1 = self._stem_states(x)
         logits_aux = None
-        s0 = s1 = self.stem(x)
-        for i, cell in enumerate(self.cells):
+        for depth, cell in enumerate(self.cells):
             s0, s1 = s1, cell(s0, s1, self.drop_path_prob)
-            if i == 2 * self._layers // 3:
-                if self._auxiliary and not self.deterministic:
-                    logits_aux = self.auxiliary_head(s1)
-        out = self.global_pooling(s1)
-        logits = self.classifier(out.reshape(out.shape[0], -1))
-        return logits, logits_aux
+            if (depth == self._aux_at and self._auxiliary
+                    and not self.deterministic):
+                logits_aux = self.auxiliary_head(s1)
+        pooled = self.global_pooling(s1)
+        return self.classifier(pooled.reshape(pooled.shape[0], -1)), logits_aux
 
 
-class BATSNetworkImageNet(nnx.Module):
-    """ImageNet-scale BATS network (reference: bnn/models/bats.py:154-206)."""
+class BATSNetworkCIFAR(_CellNetwork):
+    """CIFAR-scale BATS network: single 3x3 stem, both cell inputs fed from
+    it (reference: bnn/models/bats.py:108-151)."""
+
+    _aux_stride = 3
 
     def __init__(self, C: int, num_classes: int, layers: int, auxiliary: bool,
                  genotype: Genotype, groups: int = 12, *,
                  rngs: Optional[nnx.Rngs] = None):
-        rngs = rngs if rngs is not None else nnx.Rngs(0)
-        self._layers = layers
-        self._auxiliary = auxiliary
-        self.deterministic = True
-        self.drop_path_prob = 0.0
+        rngs = nnx.Rngs(0) if rngs is None else rngs
+        stem_width = 3 * C
+        self.stem = nn.Sequential(
+            nn.Conv2d(3, stem_width, 3, padding=1, bias=False, rngs=rngs),
+            nn.BatchNorm2d(stem_width, rngs=rngs),
+            nn.ReLU(),
+        )
+        super().__init__(C, num_classes, layers, auxiliary, genotype, groups,
+                         chans_in=(stem_width, stem_width),
+                         reduction_prev=False, rngs=rngs)
+        self.global_pooling = nn.AdaptiveAvgPool2d(1)
 
+    def _stem_states(self, x):
+        s = self.stem(x)
+        return s, s
+
+
+class BATSNetworkImageNet(_CellNetwork):
+    """ImageNet-scale BATS network: two-stage grouped-conv stem providing
+    the cells' two inputs at x4 and x8 downsampling (reference:
+    bnn/models/bats.py:154-206)."""
+
+    _aux_stride = 2
+
+    def __init__(self, C: int, num_classes: int, layers: int, auxiliary: bool,
+                 genotype: Genotype, groups: int = 12, *,
+                 rngs: Optional[nnx.Rngs] = None):
+        rngs = nnx.Rngs(0) if rngs is None else rngs
+        g = max(C // 20, 1)
         self.stem0 = nn.Sequential(
-            nn.Conv2d(3, C // 2, kernel_size=3, stride=2, padding=1, bias=False,
-                      rngs=rngs),
+            nn.Conv2d(3, C // 2, kernel_size=3, stride=2, padding=1,
+                      bias=False, rngs=rngs),
             nn.BatchNorm2d(C // 2, rngs=rngs),
             nn.ReLU(),
             nn.Conv2d(C // 2, C, 3, stride=2, padding=1, bias=False,
-                      groups=max(C // 20, 1), rngs=rngs),
+                      groups=g, rngs=rngs),
             nn.BatchNorm2d(C, rngs=rngs),
         )
         self.stem1 = nn.Sequential(
             nn.ReLU(),
-            nn.Conv2d(C, C, 3, stride=2, padding=1, bias=False,
-                      groups=max(C // 20, 1), rngs=rngs),
+            nn.Conv2d(C, C, 3, stride=2, padding=1, bias=False, groups=g,
+                      rngs=rngs),
             nn.BatchNorm2d(C, rngs=rngs),
         )
-        C_prev_prev, C_prev, C_curr = C, C, C
-
-        self.cells = nn.ModuleList()
-        reduction_prev = True
-        C_to_auxiliary = None
-        for i in range(layers):
-            if i in (layers // 3, 2 * layers // 3):
-                C_curr *= 2
-                reduction = True
-            else:
-                reduction = False
-            cell = Cell(genotype, C_prev_prev, C_prev, C_curr, reduction,
-                        reduction_prev, groups, rngs=rngs)
-            reduction_prev = reduction
-            self.cells.append(cell)
-            C_prev_prev, C_prev = C_prev, cell.multiplier * C_curr
-            if i == 2 * layers // 3:
-                C_to_auxiliary = C_prev
-
-        if auxiliary:
-            self.auxiliary_head = AuxiliaryHead(C_to_auxiliary, num_classes, 2,
-                                                rngs=rngs)
+        super().__init__(C, num_classes, layers, auxiliary, genotype, groups,
+                         chans_in=(C, C), reduction_prev=True, rngs=rngs)
         self.global_pooling = nn.AvgPool2d(7)
-        self.classifier = nn.Linear(C_prev, num_classes, rngs=rngs)
 
-    def __call__(self, x: jax.Array) -> Tuple[jax.Array, Optional[jax.Array]]:
-        logits_aux = None
+    def _stem_states(self, x):
         s0 = self.stem0(x)
-        s1 = self.stem1(s0)
-        for i, cell in enumerate(self.cells):
-            s0, s1 = s1, cell(s0, s1, self.drop_path_prob)
-            if i == 2 * self._layers // 3:
-                if self._auxiliary and not self.deterministic:
-                    logits_aux = self.auxiliary_head(s1)
-        out = self.global_pooling(s1)
-        logits = self.classifier(out.reshape(out.shape[0], -1))
-        return logits, logits_aux
+        return s0, self.stem1(s0)

@@ -1,8 +1,11 @@
 """Candidate operations for BATS binary architecture search (ECCV'20).
 
-Channels-last re-implementation of reference bnn/models/layers/bats_ops.py.
-All conv ops follow the binary-friendly BN -> Conv -> PReLU ordering with an
-optional residual skip and a 4-group channel shuffle.
+Channels-last implementation of the capability of reference
+bnn/models/layers/bats_ops.py. Every conv candidate is an instance of one
+parameterized module (`_BinConvOp`): a chain of BN -> Conv -> PReLU stages
+(the binary-friendly ordering) followed by an optional 4-group channel
+shuffle and an optional residual skip. The public classes only declare
+their stage geometry.
 
 Reference quirks fixed (SURVEY.md §7.5):
 - ``drop_path`` builds a proper ``[N,1,1,1]`` Bernoulli mask (the reference's
@@ -14,7 +17,7 @@ Reference quirks fixed (SURVEY.md §7.5):
 from __future__ import annotations
 
 from collections import namedtuple
-from typing import Callable, Dict
+from typing import Callable, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,116 +38,105 @@ PRIMITIVES = [
     "dil_conv_5x5",
 ]
 
+_SHUFFLE_GROUPS = 4
+
 
 def channel_shuffle(x: jax.Array, groups: int) -> jax.Array:
     """Interleave channel groups (channels-last)."""
     n, h, w, c = x.shape
-    x = x.reshape(n, h, w, groups, c // groups)
-    x = jnp.swapaxes(x, -1, -2)
-    return x.reshape(n, h, w, c)
+    grouped = x.reshape(n, h, w, groups, c // groups)
+    return jnp.swapaxes(grouped, -1, -2).reshape(n, h, w, c)
 
 
 def drop_path(x: jax.Array, drop_prob: float, key: jax.Array) -> jax.Array:
     """Stochastic depth: zero the whole residual branch per-sample."""
     if drop_prob <= 0.0:
         return x
-    keep_prob = 1.0 - drop_prob
-    mask = jax.random.bernoulli(key, keep_prob, (x.shape[0], 1, 1, 1))
-    return x / keep_prob * mask.astype(x.dtype)
+    keep = 1.0 - drop_prob
+    gate = jax.random.bernoulli(key, keep, (x.shape[0], 1, 1, 1))
+    return x * gate.astype(x.dtype) / keep
 
 
-class FactorizedConv(nnx.Module):
-    """1xk then kx1 factorized conv (reference: bats_ops.py:55-75)."""
+# one conv stage: (cin, cout, ksize, stride, padding, dilation, groups) where
+# ksize/stride/padding may be int or (h, w) tuples
+Stage = Tuple
 
-    def __init__(self, C: int, kernel_size: int, stride: int, affine: bool = True,
-                 skip: bool = False, *, rngs: nnx.Rngs):
+
+class _BinConvOp(nnx.Module):
+    """BN -> Conv -> PReLU stage chain with optional shuffle + residual."""
+
+    def __init__(self, stages: Sequence[Stage], affine: bool, skip: bool,
+                 stride: int, shuffle: bool, *, rngs: nnx.Rngs):
+        chain = []
+        for cin, cout, k, s, p, d, g in stages:
+            chain += [
+                nn.BatchNorm2d(cin, affine=affine, rngs=rngs),
+                nn.Conv2d(cin, cout, k, stride=s, padding=p, dilation=d,
+                          groups=g, bias=False, rngs=rngs),
+                nn.PReLU(num_parameters=cout, rngs=rngs),
+            ]
+        self.op = nn.Sequential(*chain)
+        self._shuffle = shuffle
+        # residual only when shapes are preserved end to end
+        self._residual = (skip and stride == 1
+                          and stages[0][0] == stages[-1][1])
+        # kept for introspection parity with the reference
         self.skip = skip
         self.stride = stride
-        self.op = nn.Sequential(
-            nn.BatchNorm2d(C, affine=affine, rngs=rngs),
-            nn.Conv2d(C, C, (1, kernel_size), stride=(1, stride),
-                      padding=(0, kernel_size // 2), bias=False, rngs=rngs),
-            nn.PReLU(num_parameters=C, rngs=rngs),
-            nn.BatchNorm2d(C, affine=affine, rngs=rngs),
-            nn.Conv2d(C, C, (kernel_size, 1), stride=(stride, 1),
-                      padding=(kernel_size // 2, 0), bias=False, rngs=rngs),
-            nn.PReLU(num_parameters=C, rngs=rngs),
-        )
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        out = channel_shuffle(self.op(x), 4)
-        if self.skip and self.stride == 1:
-            return x + out
-        return out
+        h = self.op(x)
+        if self._shuffle:
+            h = channel_shuffle(h, _SHUFFLE_GROUPS)
+        return x + h if self._residual else h
 
 
-class ReLUConvBN(nnx.Module):
+class FactorizedConv(_BinConvOp):
+    """1xk then kx1 factorized conv (reference: bats_ops.py:55-75)."""
+
+    def __init__(self, C: int, kernel_size: int, stride: int,
+                 affine: bool = True, skip: bool = False, *, rngs: nnx.Rngs):
+        half = kernel_size // 2
+        super().__init__(
+            [(C, C, (1, kernel_size), (1, stride), (0, half), 1, 1),
+             (C, C, (kernel_size, 1), (stride, 1), (half, 0), 1, 1)],
+            affine, skip, stride, shuffle=True, rngs=rngs)
+
+
+class ReLUConvBN(_BinConvOp):
     """BN -> Conv -> PReLU preprocessing op (reference: bats_ops.py:78-105;
     the name is historical — the actual order is the binary-friendly one)."""
 
     def __init__(self, C_in: int, C_out: int, kernel_size: int, stride: int,
                  padding: int, affine: bool = True, skip: bool = False, *,
                  rngs: nnx.Rngs):
-        self.skip = skip
-        self.stride = stride
+        super().__init__(
+            [(C_in, C_out, kernel_size, stride, padding, 1, 1)],
+            affine, skip, stride, shuffle=False, rngs=rngs)
         self.C_in = C_in
         self.C_out = C_out
-        self.op = nn.Sequential(
-            nn.BatchNorm2d(C_in, affine=affine, rngs=rngs),
-            nn.Conv2d(C_in, C_out, kernel_size, stride=stride, padding=padding,
-                      bias=False, rngs=rngs),
-            nn.PReLU(num_parameters=C_out, rngs=rngs),
-        )
-
-    def __call__(self, x: jax.Array) -> jax.Array:
-        if self.skip and self.stride == 1 and self.C_in == self.C_out:
-            return x + self.op(x)
-        return self.op(x)
 
 
-class DilConv(nnx.Module):
+class DilConv(_BinConvOp):
     """Grouped dilated conv op (reference: bats_ops.py:108-145)."""
 
     def __init__(self, C_in: int, C_out: int, kernel_size: int, stride: int,
                  padding: int, dilation: int, affine: bool = True,
                  skip: bool = False, groups: int = 12, *, rngs: nnx.Rngs):
-        self.skip = skip
-        self.stride = stride
-        self.op = nn.Sequential(
-            nn.BatchNorm2d(C_in, affine=affine, rngs=rngs),
-            nn.Conv2d(C_in, C_in, kernel_size=kernel_size, stride=stride,
-                      padding=padding, dilation=dilation, groups=groups,
-                      bias=False, rngs=rngs),
-            nn.PReLU(num_parameters=C_in, rngs=rngs),
-        )
-
-    def __call__(self, x: jax.Array) -> jax.Array:
-        out = channel_shuffle(self.op(x), 4)
-        if self.skip and self.stride == 1:
-            return x + out
-        return out
+        super().__init__(
+            [(C_in, C_in, kernel_size, stride, padding, dilation, groups)],
+            affine, skip, stride, shuffle=True, rngs=rngs)
 
 
-class SepConv(nnx.Module):
+class SepConv(_BinConvOp):
     """Grouped separable conv op (reference: bats_ops.py:148-173)."""
 
     def __init__(self, C_in: int, C_out: int, kernel_size: int, stride: int,
                  padding: int, affine: bool = True, skip: bool = False,
                  groups: int = 12, *, rngs: nnx.Rngs):
-        self.skip = skip
-        self.stride = stride
-        self.op = nn.Sequential(
-            nn.BatchNorm2d(C_in, affine=affine, rngs=rngs),
-            nn.Conv2d(C_in, C_in, kernel_size=kernel_size, stride=stride,
-                      padding=padding, groups=groups, bias=False, rngs=rngs),
-            nn.PReLU(num_parameters=C_in, rngs=rngs),
-        )
-
-    def __call__(self, x: jax.Array) -> jax.Array:
-        out = channel_shuffle(self.op(x), 4)
-        if self.skip and self.stride == 1:
-            return x + out
-        return out
+        super().__init__(
+            [(C_in, C_in, kernel_size, stride, padding, 1, groups)],
+            affine, skip, stride, shuffle=True, rngs=rngs)
 
 
 class Zero(nnx.Module):
@@ -155,7 +147,8 @@ class Zero(nnx.Module):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         n, h, w, c = x.shape
-        return jnp.zeros((n, h // self.stride, w // self.stride, c), dtype=x.dtype)
+        s = self.stride
+        return jnp.zeros((n, h // s, w // s, c), dtype=x.dtype)
 
 
 class FactorizedReduce(nnx.Module):
@@ -174,30 +167,46 @@ class FactorizedReduce(nnx.Module):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         x = self.bn(x)
-        out = jnp.concatenate(
-            [self.conv_1(x), self.conv_2(x[:, 1:, 1:, :])], axis=-1
-        )
-        return self.activation(out)
+        even, odd = self.conv_1(x), self.conv_2(x[:, 1:, 1:, :])
+        return self.activation(jnp.concatenate([even, odd], axis=-1))
+
+
+def _pool(cls, **fixed):
+    def build(C, stride, affine, skip, groups, rngs):
+        return cls(3, stride=stride, padding=1, **fixed)
+    return build
+
+
+def _identity_or_reduce(C, stride, affine, skip, groups, rngs):
+    if stride == 1:
+        return nn.Identity()
+    return FactorizedReduce(C, C, affine=affine, rngs=rngs)
+
+
+def _sep(k):
+    def build(C, stride, affine, skip, groups, rngs):
+        return SepConv(C, C, k, stride, k // 2, affine=affine, skip=skip,
+                       groups=groups, rngs=rngs)
+    return build
+
+
+def _dil(k):
+    def build(C, stride, affine, skip, groups, rngs):
+        return DilConv(C, C, k, stride, k - 1, 2, affine=affine, skip=skip,
+                       groups=groups, rngs=rngs)
+    return build
 
 
 OPS: Dict[str, Callable] = {
     "none": lambda C, stride, affine, skip, groups, rngs: Zero(stride),
-    "avg_pool_3x3": lambda C, stride, affine, skip, groups, rngs: nn.AvgPool2d(
-        3, stride=stride, padding=1, count_include_pad=False),
-    "max_pool_3x3": lambda C, stride, affine, skip, groups, rngs: nn.MaxPool2d(
-        3, stride=stride, padding=1),
-    "skip_connect": lambda C, stride, affine, skip, groups, rngs: (
-        nn.Identity() if stride == 1 else FactorizedReduce(C, C, affine=affine, rngs=rngs)),
-    "sep_conv_3x3": lambda C, stride, affine, skip, groups, rngs: SepConv(
-        C, C, 3, stride, 1, affine=affine, skip=skip, groups=groups, rngs=rngs),
-    "sep_conv_5x5": lambda C, stride, affine, skip, groups, rngs: SepConv(
-        C, C, 5, stride, 2, affine=affine, skip=skip, groups=groups, rngs=rngs),
-    "sep_conv_7x7": lambda C, stride, affine, skip, groups, rngs: SepConv(
-        C, C, 7, stride, 3, affine=affine, skip=skip, groups=groups, rngs=rngs),
-    "dil_conv_3x3": lambda C, stride, affine, skip, groups, rngs: DilConv(
-        C, C, 3, stride, 2, 2, affine=affine, skip=skip, groups=groups, rngs=rngs),
-    "dil_conv_5x5": lambda C, stride, affine, skip, groups, rngs: DilConv(
-        C, C, 5, stride, 4, 2, affine=affine, skip=skip, groups=groups, rngs=rngs),
-    "conv_7x1_1x7": lambda C, stride, affine, skip, groups, rngs: FactorizedConv(
-        C, 7, stride, affine=affine, skip=skip, rngs=rngs),
+    "avg_pool_3x3": _pool(nn.AvgPool2d, count_include_pad=False),
+    "max_pool_3x3": _pool(nn.MaxPool2d),
+    "skip_connect": _identity_or_reduce,
+    "sep_conv_3x3": _sep(3),
+    "sep_conv_5x5": _sep(5),
+    "sep_conv_7x7": _sep(7),
+    "dil_conv_3x3": _dil(3),
+    "dil_conv_5x5": _dil(5),
+    "conv_7x1_1x7": lambda C, stride, affine, skip, groups, rngs:
+        FactorizedConv(C, 7, stride, affine=affine, skip=skip, rngs=rngs),
 }

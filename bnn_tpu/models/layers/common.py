@@ -1,4 +1,4 @@
-"""Shared conv helpers for the model zoo (reference:
+"""Shared builders for the model zoo (capability of reference
 bnn/models/layers/common.py)."""
 from __future__ import annotations
 
@@ -7,19 +7,30 @@ from flax import nnx
 from ... import nn
 
 
-def conv3x3(in_planes: int, out_planes: int, stride: int = 1, groups: int = 1,
-            dilation: int = 1, *, rngs: nnx.Rngs) -> nn.Conv2d:
-    """3x3 convolution with padding."""
-    return nn.Conv2d(in_planes, out_planes, kernel_size=3, stride=stride,
-                     padding=dilation, groups=groups, bias=False,
-                     dilation=dilation, rngs=rngs)
+def _square_conv(ksize: int):
+    """Factory for the zoo's two bias-free square convs. The 3x3 variant
+    pads by the dilation ('same' at stride 1); the 1x1 variant never pads."""
+
+    def build(in_planes: int, out_planes: int, stride: int = 1,
+              groups: int = 1, dilation: int = 1, *,
+              rngs: nnx.Rngs) -> nn.Conv2d:
+        return nn.Conv2d(
+            in_planes, out_planes,
+            kernel_size=ksize,
+            stride=stride,
+            padding=dilation if ksize > 1 else 0,
+            dilation=dilation if ksize > 1 else 1,
+            groups=groups,
+            bias=False,
+            rngs=rngs,
+        )
+
+    build.__name__ = f"conv{ksize}x{ksize}"
+    return build
 
 
-def conv1x1(in_planes: int, out_planes: int, stride: int = 1, *,
-            rngs: nnx.Rngs) -> nn.Conv2d:
-    """1x1 convolution."""
-    return nn.Conv2d(in_planes, out_planes, kernel_size=1, stride=stride,
-                     bias=False, rngs=rngs)
+conv3x3 = _square_conv(3)
+conv1x1 = _square_conv(1)
 
 
 def make_activation(activation, num_parameters: int, *, rngs: nnx.Rngs):

@@ -1,8 +1,10 @@
 """Hierarchical binary block (Bulat & Tzimiropoulos).
 
-Three sequential BN -> Act -> conv3x3 stages with channel splits
-``planes/2, planes/4, planes/4``, concatenated and residual-added
-(reference: bnn/models/layers/hierarchical_block.py).
+A cascade of BN -> Act -> conv3x3 stages whose widths taper as
+``planes/2, planes/4, planes/4``; every stage's output is kept and the
+concatenation of all of them (which sums back to ``planes`` channels) is
+residual-added to the input. Reference:
+bnn/models/layers/hierarchical_block.py.
 """
 from __future__ import annotations
 
@@ -14,6 +16,9 @@ from flax import nnx
 
 from ... import nn
 from .common import conv3x3, make_activation
+
+# numerators over 4 of the per-stage output widths: planes/2, planes/4x2
+_TAPER = (2, 1, 1)
 
 
 class HBlock(nnx.Module):
@@ -27,31 +32,28 @@ class HBlock(nnx.Module):
                  base_width: int = 64, dilation: int = 1,
                  norm_layer: Optional[Callable] = None, activation=nn.ReLU, *,
                  rngs: nnx.Rngs):
-        if norm_layer is None:
-            norm_layer = nn.BatchNorm2d
-        if dilation > 1:
-            raise NotImplementedError("Dilation > 1 not supported in HBlock")
-        if stride > 1:
-            raise NotImplementedError("Stride > 1 not supported in HBlock")
-        self.bn1 = norm_layer(inplanes, rngs=rngs)
-        self.conv1 = conv3x3(inplanes, planes // 2, groups=groups, rngs=rngs)
-        self.bn2 = norm_layer(planes // 2, rngs=rngs)
-        self.conv2 = conv3x3(planes // 2, planes // 4, groups=groups, rngs=rngs)
-        self.bn3 = norm_layer(planes // 4, rngs=rngs)
-        self.conv3 = conv3x3(planes // 4, planes // 4, groups=groups, rngs=rngs)
-
-        self.act1 = make_activation(activation, inplanes, rngs=rngs)
-        self.act2 = make_activation(activation, planes // 2, rngs=rngs)
-        self.act3 = make_activation(activation, planes // 4, rngs=rngs)
-
+        norm = nn.BatchNorm2d if norm_layer is None else norm_layer
+        for arg, what in ((dilation, "Dilation"), (stride, "Stride")):
+            if arg > 1:
+                raise NotImplementedError(f"{what} > 1 not supported in HBlock")
+        fan_in = inplanes
+        for i, quarters in enumerate(_TAPER, start=1):
+            fan_out = planes * quarters // 4
+            setattr(self, f"bn{i}", norm(fan_in, rngs=rngs))
+            setattr(self, f"act{i}", make_activation(activation, fan_in,
+                                                     rngs=rngs))
+            setattr(self, f"conv{i}", conv3x3(fan_in, fan_out, groups=groups,
+                                              rngs=rngs))
+            fan_in = fan_out
         self.downsample = downsample
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        residual = x
-        out1 = self.conv1(self.act1(self.bn1(x)))
-        out2 = self.conv2(self.act2(self.bn2(out1)))
-        out3 = self.conv3(self.act3(self.bn3(out2)))
-        out = jnp.concatenate([out1, out2, out3], axis=-1)
-        if self.downsample is not None:
-            residual = self.downsample(residual)
-        return out + residual
+        shortcut = x if self.downsample is None else self.downsample(x)
+        taps = []
+        h = x
+        for i in range(1, len(_TAPER) + 1):
+            h = getattr(self, f"bn{i}")(h)
+            h = getattr(self, f"act{i}")(h)
+            h = getattr(self, f"conv{i}")(h)
+            taps.append(h)
+        return jnp.concatenate(taps, axis=-1) + shortcut

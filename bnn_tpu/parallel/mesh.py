@@ -124,12 +124,20 @@ def shard_optimizer_zero1(optimizer, mesh: Mesh, axis: str = "data",
 
     The reference has no ZeRO/FSDP of any kind (SURVEY.md §2.3). Here the
     optimizer moments (``opt_state`` subtree: Adam ``mu``/``nu`` etc.) are
-    sharded row-wise over ``axis``; params and gradients stay replicated
-    (gradients are already psum'd by GSPMD), so the moment update runs
-    ``1/axis_size`` of the elementwise FLOPs per device and stores
-    ``1/axis_size`` of the moment HBM, at the cost of one all-gather of the
-    parameter update — exactly ZeRO stage 1. XLA inserts the collectives
-    from the shardings; no manual reduce-scatter is written.
+    sharded over ``axis`` along the largest dimension that divides evenly
+    (conv-kernel moments lead with kernel height, so axis 0 alone would
+    rarely qualify); params and gradients stay replicated (gradients are
+    already psum'd by GSPMD), so for every moment array with a divisible
+    dimension the update runs ``1/axis_size`` of the elementwise FLOPs per
+    device and stores ``1/axis_size`` of that moment's HBM, at the cost of
+    one all-gather of the parameter update — ZeRO stage 1. Moments with no
+    divisible dimension (and anything below ``min_size``) are left on their
+    existing sharding. XLA inserts the collectives from the shardings; no
+    manual reduce-scatter is written.
+
+    Leaves that don't match (params, non-moment state) keep whatever
+    sharding they already have, so this composes with a prior
+    :func:`shard_model` tensor-parallel pass.
 
     Mutates ``optimizer`` in place and returns it.
     """
@@ -139,11 +147,27 @@ def shard_optimizer_zero1(optimizer, mesh: Mesh, axis: str = "data",
         if not hasattr(x, "ndim"):
             return x
         name = _path_str(path)
-        if (n > 1 and "opt_state" in name and x.ndim >= 1
-                and x.size >= min_size and x.shape[0] % n == 0):
-            spec = P(axis, *([None] * (x.ndim - 1)))
-            return jax.device_put(x, NamedSharding(mesh, spec))
-        return jax.device_put(x, NamedSharding(mesh, P()))
+        if n > 1 and "opt_state" in name and x.ndim >= 1 and x.size >= min_size:
+            # compose with any existing (tensor-parallel) sharding: keep its
+            # spec and add ``axis`` on a still-unsharded dim
+            spec = [None] * x.ndim
+            sh = getattr(x, "sharding", None)
+            if isinstance(sh, NamedSharding) and sh.mesh.shape == mesh.shape:
+                for d, entry in enumerate(sh.spec):
+                    spec[d] = entry
+            if axis in spec:
+                return x
+            # shard the largest evenly-divisible free dim, preferring later
+            # axes on ties (out-channel-last kernels put the big dim last)
+            best = None
+            for d in range(x.ndim):
+                if spec[d] is None and x.shape[d] % n == 0 and (
+                        best is None or x.shape[d] >= x.shape[best]):
+                    best = d
+            if best is not None:
+                spec[best] = axis
+                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return x
 
     state = nnx.state(optimizer)
     nnx.update(optimizer, jax.tree_util.tree_map_with_path(_assign, state))

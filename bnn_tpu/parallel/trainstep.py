@@ -123,7 +123,7 @@ def make_train_step(loss_fn: Callable = _default_loss,
     def accum_step(model, optimizer, x, y):
         assert x.shape[0] % accum_steps == 0, (x.shape, accum_steps)
         xs = x.reshape(accum_steps, -1, *x.shape[1:])
-        ys = y.reshape(accum_steps, -1)
+        ys = y.reshape(accum_steps, -1, *y.shape[1:])
         total_grads = None
         loss_sum = jnp.float32(0)
         top1_sum = jnp.float32(0)

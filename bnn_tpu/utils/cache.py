@@ -12,8 +12,16 @@ import os
 
 __all__ = ["enable_compilation_cache"]
 
-_DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+def _default_dir() -> str:
+    # In a source checkout (repo root has .git and is writable) keep the
+    # cache next to the code so it's shared across venvs; for installed
+    # packages (possibly read-only site-packages) use the user cache dir.
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    if os.path.isdir(os.path.join(repo, ".git")) and os.access(repo, os.W_OK):
+        return os.path.join(repo, ".jax_cache")
+    return os.path.join(os.path.expanduser("~"), ".cache", "bnn_tpu",
+                        "jax_cache")
 
 
 def enable_compilation_cache(path: str | None = None) -> str:
@@ -23,7 +31,7 @@ def enable_compilation_cache(path: str | None = None) -> str:
     """
     import jax
 
-    path = path or os.environ.get("BNN_TPU_JAX_CACHE", _DEFAULT_DIR)
+    path = path or os.environ.get("BNN_TPU_JAX_CACHE") or _default_dir()
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # cache everything that takes meaningful time; tiny graphs stay uncached

@@ -1,4 +1,4 @@
-"""Training metrics utilities (reference: examples/utils.py:6-60)."""
+"""Training metrics utilities (capability of reference examples/utils.py)."""
 from __future__ import annotations
 
 from typing import Sequence, Tuple
@@ -9,8 +9,14 @@ from flax import nnx
 
 
 class AverageMeter:
-    """Computes and stores the average and current value
-    (reference: examples/utils.py:6-27)."""
+    """Streaming mean of a scalar metric.
+
+    Tracks the last value and a weighted running sum; ``avg`` is derived on
+    access. ``str()`` renders "name last (mean)" with the given format spec
+    (the display contract of reference examples/utils.py:6-27).
+    """
+
+    __slots__ = ("name", "fmt", "val", "sum", "count")
 
     def __init__(self, name: str = "", fmt: str = ":f"):
         self.name = name
@@ -19,53 +25,51 @@ class AverageMeter:
 
     def reset(self) -> None:
         self.val = 0.0
-        self.avg = 0.0
         self.sum = 0.0
         self.count = 0
 
     def update(self, val, n: int = 1) -> None:
-        val = float(val)
-        self.val = val
-        self.sum += val * n
+        self.val = float(val)
+        self.sum += self.val * n
         self.count += n
-        self.avg = self.sum / max(self.count, 1)
+
+    @property
+    def avg(self) -> float:
+        return self.sum / self.count if self.count else 0.0
 
     def __str__(self) -> str:
-        fmtstr = "{name} {val" + self.fmt + "} ({avg" + self.fmt + "})"
-        return fmtstr.format(**self.__dict__)
+        spec = self.fmt.lstrip(":")
+        return (f"{self.name} {format(self.val, spec)}"
+                f" ({format(self.avg, spec)})")
 
 
 class ProgressMeter:
-    """Prints a batch-progress line from a list of meters
-    (reference: examples/utils.py:30-44)."""
+    """Renders one tab-joined progress line per displayed batch from a set
+    of meters (display contract of reference examples/utils.py:30-44)."""
 
     def __init__(self, num_batches: int, meters: Sequence[AverageMeter],
                  prefix: str = ""):
-        num_digits = len(str(num_batches // 1))
-        self.batch_fmtstr = "[{:" + str(num_digits) + "d}/" + str(num_batches) + "]"
+        self._width = len(str(num_batches))
+        self._total = num_batches
         self.meters = meters
         self.prefix = prefix
 
     def display(self, batch: int) -> None:
-        entries = [self.prefix + self.batch_fmtstr.format(batch)]
-        entries += [str(meter) for meter in self.meters]
-        print("\t".join(entries))
+        head = f"{self.prefix}[{batch:{self._width}d}/{self._total}]"
+        print("\t".join([head, *map(str, self.meters)]))
 
 
 def accuracy(output: jax.Array, target: jax.Array,
              topk: Tuple[int, ...] = (1,)) -> list:
-    """Top-k accuracy in percent (reference: examples/utils.py:46-60)."""
-    maxk = max(topk)
-    _, pred = jax.lax.top_k(output, maxk)
-    correct = pred == target[:, None]
-    res = []
-    for k in topk:
-        correct_k = jnp.sum(correct[:, :k].astype(jnp.float32))
-        res.append(float(correct_k * 100.0 / target.shape[0]))
-    return res
+    """Top-k accuracy in percent for each k (capability of reference
+    examples/utils.py:46-60), computed in one top-k pass: a cumulative sum
+    over the ranked-hit mask gives hits-within-top-k for every k at once."""
+    ranked_hit = jax.lax.top_k(output, max(topk))[1] == target[:, None]
+    pct_within = jnp.cumsum(ranked_hit, axis=1).mean(axis=0) * 100.0
+    return [float(pct_within[k - 1]) for k in topk]
 
 
 def count_parameters(model: nnx.Module) -> int:
-    """Number of trainable parameters (reference: examples/utils.py:70-71)."""
-    params = nnx.state(model, nnx.Param)
-    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+    """Total trainable parameter count (reference examples/utils.py:70-71)."""
+    leaves = jax.tree_util.tree_leaves(nnx.state(model, nnx.Param))
+    return sum(leaf.size for leaf in leaves)

@@ -364,3 +364,46 @@ class TestZero1:
         step = make_train_step()
         m = step(model, opt, x, y)
         assert np.isfinite(float(m["loss"]))
+
+    def test_conv_moments_get_sharded(self):
+        # ADVICE r1: conv-kernel moments lead with kernel height (3), which
+        # never divides the data axis — zero1 must pick a divisible dim
+        from bnn_tpu.parallel import shard_optimizer_zero1
+
+        mesh = make_mesh()  # data=8
+        model = make_model()
+        opt = nnx.Optimizer(model, optax.adamw(1e-3), wrt=nnx.Param)
+        shard_model(model, mesh)
+        shard_optimizer_zero1(opt, mesh, min_size=64)
+
+        flat = jax.tree_util.tree_leaves_with_path(nnx.state(opt))
+        conv_moments = [x for p, x in flat
+                        if "opt_state" in jax.tree_util.keystr(p)
+                        and hasattr(x, "ndim") and x.ndim == 4
+                        and x.size >= 64]
+        assert conv_moments
+        for x in conv_moments:
+            assert "data" in tuple(x.sharding.spec), (
+                x.shape, x.sharding.spec)
+
+    def test_zero1_preserves_tensor_parallel_sharding(self):
+        # ADVICE r1: zero1 must not clobber the TP shardings shard_model
+        # applied to moment arrays — it should compose with them
+        from bnn_tpu.parallel import shard_optimizer_zero1
+
+        mesh = make_mesh(data=4, model=2)
+        model = make_model()
+        opt = nnx.Optimizer(model, optax.adamw(1e-3), wrt=nnx.Param)
+        shard_model(model, mesh, min_size=64)
+        shard_model(opt, mesh, min_size=64)
+        shard_optimizer_zero1(opt, mesh, min_size=64)
+
+        flat = jax.tree_util.tree_leaves_with_path(nnx.state(opt))
+        tp_moments = [x for p, x in flat
+                      if "opt_state" in jax.tree_util.keystr(p)
+                      and jax.tree_util.keystr(p).find("kernel") != -1
+                      and hasattr(x, "ndim") and x.ndim >= 2
+                      and x.size >= 64 and x.shape[-1] % 2 == 0]
+        assert tp_moments
+        assert any("model" in tuple(x.sharding.spec) for x in tp_moments), \
+            "TP sharding of moments was discarded by zero1"
