@@ -92,10 +92,37 @@ def main():
         f"weights {model_weight_bytes(dep_i8)/1e6:.1f} MB "
         f"speedup {t_qat/t_i8:.2f}x")
 
+    from bnn_tpu.inference import (
+        DeployedConv,
+        DeployedLinear,
+        optimize_deployed,
+        packed_weight_bytes,
+        quantize_float_layers,
+        state_bytes,
+    )
+    from bnn_tpu.binarize import named_modules
+    import math
+
+    qat_state = state_bytes(qat_model)
     dep_p = deploy(build(), use_pallas=on_tpu, weight_format="packed")
     log(f"deployed packed: weights {model_weight_bytes(dep_p)/1e6:.1f} MB "
         f"({model_weight_bytes(qat_model)/model_weight_bytes(dep_p):.1f}x "
-        f"compression)")
+        f"kernel compression)")
+    # full serving format: BN folded into epilogues, fc head int8, floats bf16
+    optimize_deployed(dep_p)
+    quantize_float_layers(dep_p)
+    cast_floats(dep_p, jnp.bfloat16)
+    bin_fp32 = bin_packed = 0
+    for _, m in named_modules(dep_p):
+        if isinstance(m, DeployedConv):
+            bin_fp32 += 4 * m.out_channels * m.in_channels * math.prod(
+                m.kernel_size)
+        elif isinstance(m, DeployedLinear):
+            bin_fp32 += 4 * m.in_features * m.out_features
+    bin_packed = packed_weight_bytes(dep_p)
+    log(f"serving state: {state_bytes(dep_p)/1e6:.2f} MB "
+        f"({qat_state/state_bytes(dep_p):.1f}x vs fp32 QAT state; "
+        f"binary layers {bin_fp32/bin_packed:.1f}x bitpacked)")
 
     # serving latency: full optimized pipeline (BN folds + fused Pallas
     # stem megakernel + whole-block megakernels) at batch 1

@@ -1,6 +1,12 @@
 from .serving import Predictor
 from .megablock import FusedBlock, default_fuse_predicate, fuse_blocks
 from .optimize import fold_bn_after, fold_bn_before, optimize_deployed
+from .compress import (
+    QuantizedConv,
+    QuantizedLinear,
+    quantize_float_layers,
+    state_bytes,
+)
 from .stem import FusedStem, SpaceToDepthConv, fuse_stem, space_to_depth_stem
 from .deploy import (
     DeployedConv,
@@ -22,6 +28,10 @@ __all__ = [
     "optimize_deployed",
     "fold_bn_after",
     "fold_bn_before",
+    "QuantizedConv",
+    "QuantizedLinear",
+    "quantize_float_layers",
+    "state_bytes",
     "DeployedConv",
     "DeployedLinear",
     "deploy",

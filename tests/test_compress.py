@@ -1,0 +1,121 @@
+"""Weight-only int8/int4 compression of the float remainder of a deployed
+model (inference/compress.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from bnn_tpu import BConfig, nn, models, prepare_binary_model
+from bnn_tpu.inference import (
+    DeployedConv,
+    QuantizedConv,
+    QuantizedLinear,
+    deploy,
+    quantize_float_layers,
+    state_bytes,
+)
+from bnn_tpu.inference.compress import _pack_int4, _quantize, _unpack_int4
+from bnn_tpu.ops import (
+    BasicInputBinarizer,
+    BasicScaleBinarizer,
+    XNORWeightBinarizer,
+)
+
+
+def _bconfig():
+    return BConfig(
+        activation_pre_process=BasicInputBinarizer,
+        activation_post_process=BasicScaleBinarizer,
+        weight_pre_process=XNORWeightBinarizer,
+    )
+
+
+def test_int4_pack_roundtrip():
+    rng = np.random.default_rng(0)
+    q = rng.integers(-7, 8, size=(3, 64, 5)).astype(np.int8)
+    packed = _pack_int4(jnp.asarray(q))
+    assert packed.shape == (3, 32, 5)
+    out = _unpack_int4(packed)
+    np.testing.assert_array_equal(np.asarray(out), q)
+
+
+@pytest.mark.parametrize("group", [None, 16])
+def test_quantize_error_bound(group):
+    w = jax.random.normal(jax.random.key(0), (7, 7, 3, 64))
+    q, scale = _quantize(w, 8, group)
+    if group is None:
+        deq = q.astype(jnp.float32) * scale
+        deq = deq.reshape(w.shape)
+    else:
+        deq = (q.astype(jnp.float32) * scale[:, None, :]).reshape(-1, 64)
+        deq = deq[: 7 * 7 * 3].reshape(w.shape)
+    err = jnp.max(jnp.abs(deq - w))
+    bound = jnp.max(jnp.abs(w)) / 127.0 * 0.5 + 1e-6
+    # per-channel/group scales only tighten the per-tensor bound
+    assert float(err) <= float(bound) * 1.001
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quantized_linear_close(bits):
+    lin = nn.Linear(512, 1000, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.key(1), (4, 512))
+    y_ref = lin(x)
+    qlin = QuantizedLinear(lin, bits=bits)
+    y = qlin(x)
+    rel = float(jnp.max(jnp.abs(y - y_ref)) / jnp.max(jnp.abs(y_ref)))
+    assert rel < (0.01 if bits == 8 else 0.12)
+    stored = qlin.w_q[...].size * qlin.w_q[...].dtype.itemsize
+    assert stored <= 512 * 1000 * (1 if bits == 8 else 0.5)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quantized_conv_close(bits):
+    conv = nn.Conv2d(3, 64, 7, stride=2, padding=3, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+    y_ref = conv(x)
+    y = QuantizedConv(conv, bits=bits)(x)
+    rel = float(jnp.max(jnp.abs(y - y_ref)) / jnp.max(jnp.abs(y_ref)))
+    assert rel < (0.01 if bits == 8 else 0.08)
+
+
+def test_quantize_float_layers_end_to_end():
+    m = models.resnet18(num_classes=10, rngs=nnx.Rngs(0))
+    m = prepare_binary_model(m, bconfig=_bconfig(),
+                             ignore_layers_name=["_first_", "_last_"])
+    m.eval()
+    x = jax.random.normal(jax.random.key(2), (1, 64, 64, 3))
+    dep = deploy(m, use_pallas=False, weight_format="packed")
+    y_ref = dep(x)
+    before = state_bytes(dep)
+    # num_classes=10 shrinks fc below the default min_params; quantize it
+    # explicitly but keep the sign-feeding stem conv in float (its
+    # quantization error would flip sign bits downstream)
+    quantize_float_layers(dep, bits=8, min_params=4096, skip=("conv1",))
+    after = state_bytes(dep)
+    assert after < before  # fc shrank ~4x
+    kinds = {type(mm) for _, mm in _iter(dep)}
+    assert QuantizedLinear in kinds and QuantizedConv not in kinds
+    assert DeployedConv in kinds
+    y = dep(x)
+    rel = float(jnp.max(jnp.abs(y - y_ref)) / (jnp.max(jnp.abs(y_ref)) + 1e-9))
+    assert rel < 0.02
+
+
+def _iter(model):
+    from bnn_tpu.binarize import named_modules
+    return named_modules(model)
+
+
+def test_single_layer_model_returned():
+    lin = nn.Linear(8, 8, rngs=nnx.Rngs(0))
+    out = quantize_float_layers(lin, min_params=0)
+    assert isinstance(out, QuantizedLinear)
+
+
+def test_min_params_skips_small():
+    m = nn.Sequential(nn.Conv2d(3, 4, 1, rngs=nnx.Rngs(0)),
+                      nn.Linear(4096, 1000, rngs=nnx.Rngs(0)))
+    quantize_float_layers(m, min_params=1000)
+    assert type(m[0]) is nn.Conv2d
+    assert isinstance(m[1], QuantizedLinear)
