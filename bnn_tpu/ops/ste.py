@@ -16,6 +16,8 @@ __all__ = [
     "sign_pm1_ste",
     "stochastic_sign_ste",
     "tanh_surrogate_sign",
+    "SignActivation",
+    "SignActivationStochastic",
 ]
 
 
@@ -95,6 +97,34 @@ def stochastic_sign_ste(x: jax.Array, key: jax.Array) -> jax.Array:
     """
     noise = jax.random.uniform(key, x.shape, x.dtype, -0.5, 0.5)
     return _stochastic_sign(x, noise)
+
+
+class SignActivation:
+    """Name-compatibility shim for the reference's ``torch.autograd.Function``
+    (``SignActivation.apply(x)``, reference bnn/ops.py:51-73). The JAX-native
+    form is :func:`sign_ste`; this class exists so user code ported from the
+    reference keeps working verbatim."""
+
+    @staticmethod
+    def apply(x: jax.Array) -> jax.Array:
+        return sign_ste(x)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return sign_ste(x)
+
+
+class SignActivationStochastic:
+    """Shim for the reference's stochastic Function (bnn/ops.py:76-92).
+
+    The JAX-native form is :func:`stochastic_sign_ste`, which takes an
+    explicit PRNG key; ``apply`` accepts one as the second argument."""
+
+    @staticmethod
+    def apply(x: jax.Array, key: jax.Array) -> jax.Array:
+        return stochastic_sign_ste(x, key)
+
+    def __call__(self, x: jax.Array, key: jax.Array) -> jax.Array:
+        return stochastic_sign_ste(x, key)
 
 
 def tanh_surrogate_sign(x: jax.Array, t: float = 5.0) -> jax.Array:

@@ -184,3 +184,27 @@ class TestIdentityAndRegistry:
         b = AdvancedInputBinarizer(t=3.0)
         x = jnp.array([-0.5, 0.5])
         np.testing.assert_array_equal(b(x), jnp.sign(x))
+
+
+class TestReferenceFunctionShims:
+    """The reference exposes raw autograd Functions (bnn/ops.py:51-92);
+    ported user code calls them as ``SignActivation.apply(x)``."""
+
+    def test_sign_activation_apply(self):
+        import jax
+        import jax.numpy as jnp
+        from bnn_tpu.ops import SignActivation, sign_ste
+
+        x = jnp.asarray([-2.0, -0.5, 0.0, 0.5, 2.0])
+        assert jnp.all(SignActivation.apply(x) == sign_ste(x))
+        g = jax.grad(lambda v: jnp.sum(SignActivation.apply(v)))(x)
+        assert jnp.allclose(g, jnp.asarray([0.0, 1.0, 1.0, 1.0, 0.0]))
+
+    def test_stochastic_apply(self):
+        import jax
+        import jax.numpy as jnp
+        from bnn_tpu.ops import SignActivationStochastic
+
+        x = jax.random.normal(jax.random.key(0), (128,))
+        y = SignActivationStochastic.apply(x, jax.random.key(1))
+        assert set(map(float, jnp.unique(y))) <= {-1.0, 1.0}
