@@ -43,12 +43,19 @@ class Predictor:
                  weight_format: str = "int8", dtype=jnp.bfloat16,
                  use_pallas: bool = True, fold_bn: bool = True,
                  space_to_depth: bool = True, fuse: Optional[bool] = None,
-                 max_fused_batch: int = 4, mesh=None, batch_axis: str = "data"):
+                 max_fused_batch: int = 4, mesh=None, batch_axis: str = "data",
+                 quantize_float_bits: Optional[int] = None):
         model.eval()
         model = deploy(model, weight_format=weight_format,
                        use_pallas=use_pallas)
         if fold_bn:
             optimize_deployed(model)
+        if quantize_float_bits is not None:
+            # weight-only int8/int4 storage for the big float layers (the
+            # classifier head); sign-feeding small convs stay float — see
+            # inference/compress.py for why
+            from .compress import quantize_float_layers
+            quantize_float_layers(model, bits=quantize_float_bits)
         if space_to_depth:
             space_to_depth_stem(model)
         if fuse is None:  # megakernels are Pallas-TPU only, like use_pallas

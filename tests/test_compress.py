@@ -119,3 +119,41 @@ def test_min_params_skips_small():
     quantize_float_layers(m, min_params=1000)
     assert type(m[0]) is nn.Conv2d
     assert isinstance(m[1], QuantizedLinear)
+
+
+def test_predictor_with_quantized_head():
+    from bnn_tpu.inference import Predictor
+
+    m = models.resnet18(num_classes=1000, rngs=nnx.Rngs(0))
+    m = prepare_binary_model(m, bconfig=_bconfig(),
+                             ignore_layers_name=["_first_", "_last_"])
+    x = np.asarray(jax.random.normal(jax.random.key(3), (2, 64, 64, 3)))
+    ref = Predictor(  # fresh deploy of an identical model, no quantization
+        _rebuild(), batch_size=2, use_pallas=False, fuse=False,
+        space_to_depth=False, dtype=None)(x)
+    p = Predictor(m, batch_size=2, use_pallas=False, fuse=False,
+                  space_to_depth=False, dtype=None, quantize_float_bits=8)
+    out = p(x)
+    rel = float(jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    assert rel < 0.02  # head-only int8: error stays linear in the logits
+
+
+def _rebuild():
+    m = models.resnet18(num_classes=1000, rngs=nnx.Rngs(0))
+    return prepare_binary_model(m, bconfig=_bconfig(),
+                                ignore_layers_name=["_first_", "_last_"])
+
+
+def test_quantized_model_checkpoint_roundtrip(tmp_path):
+    from bnn_tpu.utils.checkpoint import (load_checkpoint, restore_into,
+                                          save_checkpoint)
+
+    lin = nn.Linear(64, 32, rngs=nnx.Rngs(0))
+    q = QuantizedLinear(lin, bits=4)
+    x = jax.random.normal(jax.random.key(1), (3, 64))
+    want = q(x)
+    save_checkpoint(str(tmp_path / "q"), q)
+    lin2 = nn.Linear(64, 32, rngs=nnx.Rngs(1))  # different init
+    q2 = QuantizedLinear(lin2, bits=4)
+    restore_into(q2, load_checkpoint(str(tmp_path / "q")))
+    np.testing.assert_array_equal(np.asarray(q2(x)), np.asarray(want))
