@@ -1,0 +1,94 @@
+"""Serving example: QAT checkpoint -> compiled TPU inference endpoint.
+
+The reference framework trains binary networks but ships no execution
+layer (reference README.md:22) — serving is the part this framework adds.
+This script shows the full path from a trained QAT checkpoint to a
+production endpoint:
+
+    python examples/serve.py --ckpt /path/to/ckpt      # restore + serve
+    python examples/serve.py                           # fresh weights demo
+
+Pipeline inside ``Predictor`` (one call):
+  deploy       -> binary layers become bitpacked/int8 deployed layers with
+                  folded alpha/scale/bias epilogues
+  fold_bn      -> remaining BatchNorms folded into epilogues / sign
+                  thresholds (inference/optimize.py)
+  quantize     -> classifier head stored weight-only int8 (compress.py)
+  megakernels  -> stem + residual blocks fused into Pallas kernels at
+                  small batch (TPU only)
+  bf16         -> float path cast to bf16, fixed-batch jit
+
+Multi-chip: pass ``mesh=jax.make_mesh((n,), ('data',))`` and requests are
+batch-sharded over chips with replicated weights (shard_map; the
+reference's analogue is nn.DataParallel, examples/cifar10.py:76).
+"""
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from bnn_tpu import BConfig, models, prepare_binary_model
+from bnn_tpu.inference import Predictor, state_bytes
+from bnn_tpu.ops import (
+    BasicInputBinarizer,
+    BasicScaleBinarizer,
+    XNORWeightBinarizer,
+)
+
+
+def build_model(num_classes: int) -> nnx.Module:
+    """The CIFAR-10 example's config: binary body, fp32 first/last
+    (reference examples/cifar10.py:63-71)."""
+    model = models.resnet18(num_classes=num_classes, rngs=nnx.Rngs(0))
+    return prepare_binary_model(
+        model,
+        bconfig=BConfig(
+            activation_pre_process=BasicInputBinarizer.with_args(
+                zero_to_one=True),
+            activation_post_process=BasicScaleBinarizer,
+            weight_pre_process=XNORWeightBinarizer,
+        ),
+        ignore_layers_name=["_first_", "_last_"],
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default=None, help="QAT checkpoint path")
+    ap.add_argument("--num-classes", type=int, default=1000)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--size", type=int, default=224)
+    ap.add_argument("--requests", type=int, default=4)
+    args = ap.parse_args()
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    common = dict(batch_size=args.batch_size, use_pallas=on_tpu,
+                  fuse=on_tpu, quantize_float_bits=8)
+    if args.ckpt:
+        predictor = Predictor.from_checkpoint(
+            args.ckpt, lambda: build_model(args.num_classes), **common)
+    else:
+        predictor = Predictor(build_model(args.num_classes), **common)
+
+    served = nnx.merge(predictor._graphdef, predictor._state)
+    print(f"serving state: {state_bytes(served) / 1e6:.2f} MB, "
+          f"batch {args.batch_size}, "
+          f"{'TPU megakernels' if on_tpu else 'CPU reference path'}")
+
+    rng = np.random.default_rng(0)
+    for i in range(args.requests):
+        n = int(rng.integers(1, args.batch_size + 1))  # ragged request sizes
+        x = rng.standard_normal((n, args.size, args.size, 3), np.float32)
+        t0 = time.time()
+        logits = predictor(x)
+        jax.block_until_ready(logits)
+        top1 = np.asarray(jnp.argmax(logits, -1))
+        print(f"request {i}: {n} images -> top-1 {top1.tolist()} "
+              f"({(time.time() - t0) * 1e3:.1f} ms incl. host)")
+
+
+if __name__ == "__main__":
+    main()

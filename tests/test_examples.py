@@ -62,3 +62,13 @@ def test_imagenet_accum_zero1(tmp_path, monkeypatch, capsys):
           "--out", str(tmp_path / "inet")], monkeypatch)
     out = capsys.readouterr().out
     assert "Acc@1" in out
+
+
+def test_serve_example(monkeypatch, capsys):
+    import examples  # noqa: F401
+    _run("examples/serve.py",
+         ["--num-classes", "10", "--size", "64", "--batch-size", "4",
+          "--requests", "2"], monkeypatch)
+    out = capsys.readouterr().out
+    assert "serving state:" in out
+    assert "request 1:" in out
