@@ -60,6 +60,10 @@ def _child_items(module: nnx.Module) -> Iterator[Tuple[str, nnx.Module]]:
             for i, item in enumerate(value):
                 if isinstance(item, nnx.Module):
                     yield f"{key}.{i}", item
+        elif isinstance(value, dict):
+            for k, item in value.items():
+                if isinstance(item, nnx.Module):
+                    yield f"{key}.{k}", item
 
 
 def named_modules(model: nnx.Module) -> Iterator[Tuple[str, nnx.Module]]:
@@ -79,10 +83,20 @@ def named_modules(model: nnx.Module) -> Iterator[Tuple[str, nnx.Module]]:
     yield from _walk("", model)
 
 
+def _step(obj, seg: str):
+    """One path segment: attribute access, or indexing for list/tuple/dict
+    containers (named_modules yields 'attr.0' / 'attr.key' for those)."""
+    if isinstance(obj, (list, tuple)):
+        return obj[int(seg)]
+    if isinstance(obj, dict):
+        return obj[seg]
+    return getattr(obj, seg)
+
+
 def get_module_by_name(model: nnx.Module, name: str) -> nnx.Module:
     obj = model
     for seg in name.split("."):
-        obj = getattr(obj, seg)
+        obj = _step(obj, seg)
     return obj
 
 
@@ -90,8 +104,18 @@ def set_module_by_name(model: nnx.Module, name: str, new: nnx.Module) -> None:
     segs = name.split(".")
     parent = model
     for seg in segs[:-1]:
-        parent = getattr(parent, seg)
-    setattr(parent, segs[-1], new)
+        parent = _step(parent, seg)
+    last = segs[-1]
+    if isinstance(parent, list):
+        parent[int(last)] = new
+    elif isinstance(parent, tuple):
+        raise TypeError(
+            f"cannot replace {name!r}: parent container is an immutable "
+            f"tuple — store submodules in a list instead")
+    elif isinstance(parent, dict):
+        parent[last] = new
+    else:
+        setattr(parent, last, new)
 
 
 def _get_first_layer(model: nnx.Module, modules_mapping) -> List[str]:

@@ -91,6 +91,10 @@ class _QuantizedBase(nnx.Module):
         assert bits in (8, 4), bits
         if bits == 4 and group is None:
             group = 64
+        if bits == 4 and group % 2:
+            raise ValueError(
+                f"int4 packing pairs values along the in-group axis; "
+                f"group must be even, got {group}")
         self.bits = bits
         self.group = group
         self.k_shape = tuple(w.shape)

@@ -55,7 +55,7 @@ class Predictor:
             # classifier head); sign-feeding small convs stay float — see
             # inference/compress.py for why
             from .compress import quantize_float_layers
-            quantize_float_layers(model, bits=quantize_float_bits)
+            model = quantize_float_layers(model, bits=quantize_float_bits)
         if space_to_depth:
             space_to_depth_stem(model)
         if fuse is None:  # megakernels are Pallas-TPU only, like use_pallas
@@ -89,6 +89,19 @@ class Predictor:
                 _run, mesh=mesh, in_specs=(P(), P(batch_axis)),
                 out_specs=P(batch_axis), check_vma=False)
             self._forward = jax.jit(sharded)
+
+    def served_model(self) -> nnx.Module:
+        """Re-materialize the deployed model being served (graphdef merged
+        with the live — possibly sharded — state). Public accessor so tools
+        never need the private ``_graphdef``/``_state`` pair."""
+        return nnx.merge(self._graphdef, self._state)
+
+    def state_bytes(self) -> int:
+        """Total bytes of the serving state (weights, scales, norm stats).
+        With ``mesh=`` the state is replicated, so this is the per-replica
+        (== logical) size."""
+        from .compress import state_bytes as _sb
+        return _sb(self.served_model())
 
     @classmethod
     def from_model(cls, model: nnx.Module, **kwargs) -> "Predictor":

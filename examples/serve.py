@@ -31,7 +31,7 @@ import numpy as np
 from flax import nnx
 
 from bnn_tpu import BConfig, models, prepare_binary_model
-from bnn_tpu.inference import Predictor, state_bytes
+from bnn_tpu.inference import Predictor
 from bnn_tpu.ops import (
     BasicInputBinarizer,
     BasicScaleBinarizer,
@@ -73,8 +73,7 @@ def main():
     else:
         predictor = Predictor(build_model(args.num_classes), **common)
 
-    served = nnx.merge(predictor._graphdef, predictor._state)
-    print(f"serving state: {state_bytes(served) / 1e6:.2f} MB, "
+    print(f"serving state: {predictor.state_bytes() / 1e6:.2f} MB, "
           f"batch {args.batch_size}, "
           f"{'TPU megakernels' if on_tpu else 'CPU reference path'}")
 

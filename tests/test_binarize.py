@@ -189,3 +189,53 @@ class TestStateRoundTrip:
         leaves = jax.tree_util.tree_leaves(grads)
         assert leaves, "no gradient leaves"
         assert any(float(jnp.sum(jnp.abs(g))) > 0 for g in leaves)
+
+
+class TestContainerWalk:
+    """Dict/list containers in the module walk and by-name replacement
+    (VERDICT r2 weak #7; reference walks torch's _modules registry which
+    covers ModuleDict — bnn/binarize.py traversal)."""
+
+    def _dict_net(self):
+        class DictNet(nnx.Module):
+            def __init__(self, rngs):
+                # flax >= 0.12 requires dict attrs be marked as data
+                self.branches = nnx.data({
+                    "a": nn.Conv2d(3, 8, 1, rngs=rngs),
+                    "b": nn.Conv2d(3, 8, 1, rngs=rngs),
+                })
+                self.head = nn.Linear(16, 4, rngs=rngs)
+
+            def __call__(self, x):
+                ya = self.branches["a"](x).mean(axis=(1, 2))
+                yb = self.branches["b"](x).mean(axis=(1, 2))
+                return self.head(jnp.concatenate([ya, yb], axis=-1))
+
+        return DictNet(nnx.Rngs(0))
+
+    def test_named_modules_sees_dict_children(self):
+        net = self._dict_net()
+        names = dict(named_modules(net))
+        assert "branches.a" in names and "branches.b" in names
+
+    def test_binarize_reaches_dict_children(self):
+        net = prepare_binary_model(self._dict_net(), bconfig=BCONFIG)
+        assert isinstance(net.branches["a"], blayers.Conv2d)
+        assert isinstance(net.branches["b"], blayers.Conv2d)
+        assert isinstance(net.head, blayers.Linear)
+        out = net(jnp.ones((2, 4, 4, 3)))
+        assert out.shape == (2, 4)
+
+    def test_set_module_by_name_in_list(self):
+        from bnn_tpu.binarize import get_module_by_name, set_module_by_name
+
+        class ListNet(nnx.Module):
+            def __init__(self, rngs):
+                self.blocks = nnx.data([nn.Linear(4, 4, rngs=rngs),
+                                        nn.Linear(4, 4, rngs=rngs)])
+
+        net = ListNet(nnx.Rngs(0))
+        new = nn.Linear(4, 4, rngs=nnx.Rngs(7))
+        set_module_by_name(net, "blocks.1", new)
+        assert net.blocks[1] is new
+        assert get_module_by_name(net, "blocks.1") is new

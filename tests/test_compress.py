@@ -157,3 +157,43 @@ def test_quantized_model_checkpoint_roundtrip(tmp_path):
     q2 = QuantizedLinear(lin2, bits=4)
     restore_into(q2, load_checkpoint(str(tmp_path / "q")))
     np.testing.assert_array_equal(np.asarray(q2(x)), np.asarray(want))
+
+
+def test_int4_odd_group_rejected():
+    """Explicit odd group must fail loudly at _store, not with an opaque
+    broadcast error later (ADVICE r2)."""
+    import pytest
+    lin = nn.Linear(32, 8, rngs=nnx.Rngs(0))
+    with pytest.raises(ValueError, match="even"):
+        QuantizedLinear(lin, bits=4, group=7)
+
+
+def test_predictor_quantizes_single_float_layer():
+    """Predictor(quantize_float_bits=) must use the RETURN VALUE of
+    quantize_float_layers — a model that is itself one big float layer is
+    replaced, not mutated (ADVICE r2)."""
+    from bnn_tpu.inference import Predictor
+    from bnn_tpu.inference.compress import _QuantizedBase
+
+    lin = nn.Linear(256, 128, rngs=nnx.Rngs(0))
+    pred = Predictor.from_model(lin, batch_size=2, use_pallas=False,
+                                fuse=False, space_to_depth=False,
+                                dtype=None, quantize_float_bits=8)
+    served = pred.served_model()
+    assert isinstance(served, _QuantizedBase), type(served)
+    x = np.random.RandomState(0).randn(2, 256).astype(np.float32)
+    out = pred(x)
+    expected = lin(jnp.asarray(x))
+    rel = float(jnp.linalg.norm(out - expected) / jnp.linalg.norm(expected))
+    assert rel < 0.01
+
+
+def test_predictor_state_bytes_public_api():
+    from bnn_tpu.inference import Predictor
+
+    lin = nn.Linear(64, 32, rngs=nnx.Rngs(0))
+    pred = Predictor.from_model(lin, batch_size=2, use_pallas=False,
+                                fuse=False, space_to_depth=False, dtype=None)
+    n = pred.state_bytes()
+    # fp32 kernel + bias
+    assert n == (64 * 32 + 32) * 4
