@@ -1,5 +1,6 @@
 from .meters import AverageMeter, ProgressMeter, accuracy, count_parameters
-from .checkpoint import save_checkpoint, load_checkpoint, restore_into
+from .checkpoint import (save_checkpoint, load_checkpoint, restore_into,
+                         optimizer_state_dict, restore_optimizer)
 from .flops import OpCount, count_ops
 from .precision import cast_floats
 from .cache import enable_compilation_cache
@@ -17,6 +18,8 @@ __all__ = [
     "count_parameters",
     "save_checkpoint",
     "load_checkpoint",
+    "optimizer_state_dict",
+    "restore_optimizer",
     "restore_into",
     "OpCount",
     "count_ops",

@@ -20,7 +20,13 @@ import numpy as np
 import orbax.checkpoint as ocp
 from flax import nnx
 
-__all__ = ["save_checkpoint", "load_checkpoint", "restore_into"]
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "restore_into",
+    "optimizer_state_dict",
+    "restore_optimizer",
+]
 
 
 def _checkpointer():
@@ -40,6 +46,11 @@ def save_checkpoint(path: str, model: nnx.Module, opt_state: Any = None,
     state = nnx.state(model)
     payload = {"model": nnx.to_pure_dict(state)}
     if opt_state is not None:
+        # accept a live nnx.Optimizer, its nnx.State, or a pure dict
+        if isinstance(opt_state, nnx.Optimizer):
+            opt_state = optimizer_state_dict(opt_state)
+        elif not isinstance(opt_state, dict):
+            opt_state = nnx.to_pure_dict(opt_state)
         payload["opt_state"] = opt_state
     if metadata:
         payload["metadata"] = dict(metadata)
@@ -58,6 +69,46 @@ def load_checkpoint(path: str) -> Dict:
     return _checkpointer().restore(os.path.abspath(path))
 
 
+def _walk(pure, prefix=()):
+    if isinstance(pure, dict):
+        for k, v in pure.items():
+            yield from _walk(v, prefix + (k,))
+    else:
+        yield prefix, pure
+
+
+def _unflatten(flat):
+    root: Dict = {}
+    for path, v in flat.items():
+        d = root
+        for k in path[:-1]:
+            d = d.setdefault(k, {})
+        d[path[-1]] = v
+    return root
+
+
+def _merge_matching(pure_cur: Dict, saved: Dict):
+    """Merge ``saved`` leaves into ``pure_cur`` wherever path+shape match.
+
+    Orbax stringifies integer dict keys (optax chain indices, Sequential
+    slots) on restore, so a saved path is also looked up with every segment
+    stringified. Returns ``(merged, skipped_paths)``.
+    """
+    flat_saved = dict(_walk(saved))
+    by_str = {tuple(str(k) for k in p): v for p, v in flat_saved.items()}
+    merged, skipped = {}, []
+    for path, cur in dict(_walk(pure_cur)).items():
+        new = flat_saved.get(path)
+        if new is None:
+            new = by_str.get(tuple(str(k) for k in path))
+        if new is not None and np.shape(new) == np.shape(cur):
+            merged[path] = new
+        else:
+            merged[path] = cur
+            skipped.append(".".join(map(str, path)))
+    return _unflatten(merged), skipped
+
+
 def restore_into(model: nnx.Module, payload: Dict, strict: bool = True):
     """Restore a payload's model state into ``model``.
 
@@ -67,41 +118,50 @@ def restore_into(model: nnx.Module, payload: Dict, strict: bool = True):
     """
     state = nnx.state(model)
     saved = payload["model"]
-    skipped = []
 
     if strict:
         nnx.replace_by_pure_dict(state, saved)
         nnx.update(model, state)
         return []
 
-    def _walk(pure, prefix=()):
-        if isinstance(pure, dict):
-            for k, v in pure.items():
-                yield from _walk(v, prefix + (k,))
-        else:
-            yield prefix, pure
-
-    flat_saved = dict(_walk(saved))
-    pure_cur = nnx.to_pure_dict(state)
-    flat_cur = dict(_walk(pure_cur))
-    merged = {}
-    for path, cur in flat_cur.items():
-        new = flat_saved.get(path)
-        if new is not None and np.shape(new) == np.shape(cur):
-            merged[path] = new
-        else:
-            merged[path] = cur
-            skipped.append(".".join(map(str, path)))
-
-    def _unflatten(flat):
-        root: Dict = {}
-        for path, v in flat.items():
-            d = root
-            for k in path[:-1]:
-                d = d.setdefault(k, {})
-            d[path[-1]] = v
-        return root
-
-    nnx.replace_by_pure_dict(state, _unflatten(merged))
+    merged, skipped = _merge_matching(nnx.to_pure_dict(state), saved)
+    nnx.replace_by_pure_dict(state, merged)
     nnx.update(model, state)
+    return skipped
+
+
+def optimizer_state_dict(optimizer: nnx.Optimizer) -> Dict:
+    """Pure-dict snapshot of an ``nnx.Optimizer``'s state (Adam moments +
+    the step counts that carry the optax schedule position). The
+    counterpart of the reference saving ``optimizer.state_dict()``
+    (examples/utils.py:62-68)."""
+    return nnx.to_pure_dict(nnx.state(optimizer))
+
+
+def restore_optimizer(optimizer: nnx.Optimizer, payload: Dict,
+                      strict: bool = True):
+    """Restore a checkpoint's ``opt_state`` into a live ``nnx.Optimizer``.
+
+    Restoring the step counts fast-forwards any optax schedule to the
+    saved position (optax schedules are pure functions of the count), so a
+    resumed run continues the exact LR trajectory — and, like the
+    reference's reset-then-fast-forward on resume
+    (reference examples/imagenet.py:248-256), a *different* base LR passed
+    at resume time re-parameterizes the schedule while keeping its
+    position. Returns skipped paths (``strict=False``); raises ``KeyError``
+    when the checkpoint has no optimizer state.
+    """
+    saved = payload.get("opt_state")
+    if saved is None:
+        raise KeyError("checkpoint has no 'opt_state' "
+                       "(saved with save_checkpoint(..., opt_state=None)?)")
+    state = nnx.state(optimizer)
+    # always path-merge (Orbax stringifies the optax chain's integer keys,
+    # so an exact replace_by_pure_dict would miss every moment leaf)
+    merged, skipped = _merge_matching(nnx.to_pure_dict(state), saved)
+    if strict and skipped:
+        raise ValueError(f"optimizer state mismatch on {skipped[:5]}"
+                         f"{'...' if len(skipped) > 5 else ''}")
+    nnx.replace_by_pure_dict(state, merged)
+    nnx.update(optimizer, state)
     return skipped

