@@ -42,7 +42,11 @@ DEFAULT_MODULE_MAPPING: Dict[type, type] = {
     nn.Linear: blayers.Linear,
     nn.Conv2d: blayers.Conv2d,
     nn.Conv1d: blayers.Conv1d,
+    # stock flax layers binarize too (the reference maps every float layer
+    # type it has, bnn/binarize.py:12-18); Conv2d.from_module dispatches
+    # 1-D flax kernels to Conv1d
     nnx.Linear: blayers.Linear,
+    nnx.Conv: blayers.Conv2d,
 }
 # identity self-mapping so already-binary modules can be re-converted by a
 # later recipe step (reference: bnn/binarize.py:17-18)

@@ -87,9 +87,11 @@ class _BinaryConvNd:
     @classmethod
     def from_module(cls, mod: nnx.Module, bconfig: BConfig = None,
                     update: bool = False):
+        if type(mod) is nnx.Conv:
+            return _from_flax_conv(mod, bconfig, update=update)
         assert type(mod) in (cls._FLOAT_MODULE, cls), (
             f"{cls.__name__}.from_module only works for "
-            f"{cls._FLOAT_MODULE.__name__} / {cls.__name__}"
+            f"{cls._FLOAT_MODULE.__name__} / nnx.Conv / {cls.__name__}"
         )
         if bconfig is None:
             bconfig = getattr(mod, "bconfig", None)
@@ -130,6 +132,52 @@ class Conv2d(_BinaryConvNd, nn.Conv2d):
                            padding, dilation, groups, bias,
                            rngs=rngs if rngs is not None else nnx.Rngs(0))
         _attach_binarizers(self, bconfig)
+
+
+def _from_flax_conv(mod: "nnx.Conv", bconfig: BConfig = None,
+                    update: bool = False):
+    """Adapt a stock ``flax.nnx.Conv`` into a binary conv (the analogue of
+    the reference mapping every float conv type, bnn/binarize.py:12-18).
+
+    flax geometry maps directly — both use channels-last activations and
+    ``(*spatial, I/groups, O)`` kernels — so the kernel/bias Params are
+    adopted by reference, like torch-module adoption. Rank is taken from
+    ``kernel_size`` (1-D -> Conv1d, 2-D -> Conv2d).
+    """
+    if bconfig is None:
+        bconfig = getattr(mod, "bconfig", None)
+        assert bconfig is not None, "The input module requires a predefined bconfig"
+    nd = len(mod.kernel_size)
+    if nd not in (1, 2):
+        raise NotImplementedError(
+            f"binarizing a {nd}-D flax conv is not supported (1-D/2-D only)")
+    if mod.input_dilation not in (1, None, (1,) * nd):
+        raise NotImplementedError("flax input_dilation (transposed-style "
+                                  "conv) has no binary-layer equivalent")
+    if getattr(mod, "mask", None) is not None:
+        raise NotImplementedError("masked flax convs are not supported")
+    padding = mod.padding
+    if not isinstance(padding, (str, int)):
+        # flax accepts [(lo, hi), ...] pairs; symmetric pairs map to our
+        # torch-style per-dim ints
+        pairs = list(padding)
+        if all(isinstance(p, int) for p in pairs):
+            padding = tuple(pairs)
+        elif all(len(p) == 2 and p[0] == p[1] for p in pairs):
+            padding = tuple(p[0] for p in pairs)
+        else:
+            raise NotImplementedError(
+                f"asymmetric flax padding {padding!r} is not supported")
+    cls = Conv1d if nd == 1 else Conv2d
+    new = cls(mod.in_features, mod.out_features, mod.kernel_size,
+              stride=mod.strides, padding=padding,
+              dilation=mod.kernel_dilation, groups=mod.feature_group_count,
+              bias=mod.use_bias, bconfig=bconfig)
+    new.kernel = mod.kernel  # shared Param object, not a copy
+    new.bias = mod.bias if mod.use_bias else None
+    if update:
+        copy_parameters(mod, new, bconfig)
+    return new
 
 
 # Explicit aliases for readability at call sites
