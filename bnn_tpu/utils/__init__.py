@@ -1,6 +1,8 @@
 from .meters import AverageMeter, ProgressMeter, accuracy, count_parameters
 from .checkpoint import (save_checkpoint, load_checkpoint, restore_into,
                          optimizer_state_dict, restore_optimizer)
+from .torch_import import (load_torch_file, torch_to_state_dict,
+                           import_torch_checkpoint)
 from .flops import OpCount, count_ops
 from .precision import cast_floats
 from .cache import enable_compilation_cache
@@ -21,6 +23,9 @@ __all__ = [
     "optimizer_state_dict",
     "restore_optimizer",
     "restore_into",
+    "load_torch_file",
+    "torch_to_state_dict",
+    "import_torch_checkpoint",
     "OpCount",
     "count_ops",
     "cast_floats",

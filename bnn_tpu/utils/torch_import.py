@@ -1,0 +1,281 @@
+"""Import reference (PyTorch) checkpoints into bnn_tpu models.
+
+The reference trains with torch and checkpoints ``{'state_dict': ...,
+'optimizer': ..., 'epoch': ..., 'best_acc1': ...}`` via ``torch.save``
+(reference examples/imagenet.py:218-256, examples/utils.py:62-68). This
+module loads those files WITHOUT torch — ``torch.save``'s modern format is a
+zip archive holding a pickle (``data.pkl``) whose tensors are persistent-id
+references into raw little-endian storage files — and maps the tensors onto
+a bnn_tpu model:
+
+- module paths are identical by construction (``conv1``, ``layer1.0.conv1``,
+  ``downsample.1`` ... — bnn_tpu/models/resnet.py keeps the reference's
+  attribute names), so only the *leaf* conventions differ;
+- conv ``weight`` (OIHW) -> ``kernel`` (HWIO), linear ``weight`` (O,I) ->
+  ``kernel`` (I,O) — the transposes the golden layer tests encode
+  (tests/test_layers.py:33-37);
+- BatchNorm ``weight/bias/running_mean/running_var`` -> nnx
+  ``scale/bias/mean/var``; ``num_batches_tracked`` is dropped;
+- binarizer state like ``activation_post_process.alpha`` transfers with a
+  reshape (the reference keeps broadcast shapes ``[1, C, 1, 1]``,
+  bnn/ops.py:180-205; ours is ``(C,)``).
+
+With this, accuracy parity vs a reference-trained run (BASELINE.md north
+star) is measurable the moment reference weights are available — no
+retraining needed.
+"""
+from __future__ import annotations
+
+import io
+import os
+import pickle
+import zipfile
+from typing import Any, Dict, List, Tuple, Union
+
+import numpy as np
+from flax import nnx
+
+__all__ = ["load_torch_file", "torch_to_state_dict", "import_torch_checkpoint"]
+
+
+# torch storage class name -> numpy dtype
+_STORAGE_DTYPES = {
+    "FloatStorage": np.dtype("<f4"),
+    "DoubleStorage": np.dtype("<f8"),
+    "HalfStorage": np.dtype("<f2"),
+    "LongStorage": np.dtype("<i8"),
+    "IntStorage": np.dtype("<i4"),
+    "ShortStorage": np.dtype("<i2"),
+    "CharStorage": np.dtype("<i1"),
+    "ByteStorage": np.dtype("<u1"),
+    "BoolStorage": np.dtype("bool"),
+}
+
+
+def _bfloat16_dtype():
+    import ml_dtypes  # ships with jax
+
+    return np.dtype(ml_dtypes.bfloat16)
+
+
+class _StorageRef:
+    """Lazy handle to one raw storage blob inside the checkpoint zip."""
+
+    def __init__(self, data: bytes, dtype: np.dtype):
+        self.data = data
+        self.dtype = dtype
+
+    def asarray(self) -> np.ndarray:
+        return np.frombuffer(self.data, dtype=self.dtype)
+
+
+def _rebuild_tensor(storage: _StorageRef, storage_offset, size, stride, *args):
+    """Stand-in for ``torch._utils._rebuild_tensor_v2``: materialize a
+    numpy array from (storage, offset, size, stride)."""
+    flat = storage.asarray()
+    size = tuple(int(s) for s in size)
+    stride = tuple(int(s) for s in stride)
+    if not size:
+        return flat[int(storage_offset)].copy()
+    itemsize = flat.dtype.itemsize
+    view = np.lib.stride_tricks.as_strided(
+        flat[int(storage_offset):],
+        shape=size,
+        strides=tuple(s * itemsize for s in stride),
+    )
+    return view.copy()
+
+
+def _rebuild_parameter(data, requires_grad=True, backward_hooks=None):
+    return data
+
+
+class _TorchStub:
+    """Callable stub for harmless torch constructors (e.g. ``torch.Size``)."""
+
+    def __init__(self, name):
+        self.name = name
+
+    def __call__(self, *a, **k):
+        if self.name.endswith("Size"):
+            return tuple(a[0]) if a else ()
+        raise pickle.UnpicklingError(
+            f"torch checkpoint requires unsupported constructor {self.name}")
+
+
+class _Unpickler(pickle.Unpickler):
+    """Minimal, allow-listed unpickler for torch checkpoints.
+
+    Only tensor-rebuild plumbing and plain containers are admitted;
+    anything else (arbitrary classes, reduce payloads) raises. This is both
+    the no-torch path AND a safer loader than ``torch.load`` for untrusted
+    files.
+    """
+
+    def __init__(self, file, storages: Dict[str, bytes]):
+        super().__init__(file, encoding="utf-8")
+        self._storages = storages
+
+    def find_class(self, module: str, name: str):
+        if module == "collections" and name == "OrderedDict":
+            return dict
+        if module == "torch._utils":
+            if name in ("_rebuild_tensor_v2", "_rebuild_tensor"):
+                return _rebuild_tensor
+            if name == "_rebuild_parameter":
+                return _rebuild_parameter
+        if module == "torch":
+            if name in _STORAGE_DTYPES or name == "BFloat16Storage":
+                return name  # storage *type tag*, consumed by persistent_load
+            if name == "Size":
+                return _TorchStub("torch.Size")
+        if module == "numpy.core.multiarray" and name == "scalar":
+            return lambda dt, b: np.frombuffer(b, dt)[0]
+        if module == "numpy" and name == "dtype":
+            return np.dtype
+        raise pickle.UnpicklingError(
+            f"global '{module}.{name}' is not allowed in a torch checkpoint")
+
+    def persistent_load(self, saved_id):
+        kind, tag, key, _location, _numel = saved_id
+        assert kind == "storage", kind
+        if tag == "BFloat16Storage":
+            dtype = _bfloat16_dtype()
+        else:
+            dtype = _STORAGE_DTYPES[tag if isinstance(tag, str) else tag.__name__]
+        return _StorageRef(self._storages[str(key)], dtype)
+
+
+def load_torch_file(path: str) -> Any:
+    """Load a ``torch.save``d file (zip format, torch >= 1.6) without torch.
+
+    Returns the deserialized object with every tensor as a numpy array.
+    """
+    with zipfile.ZipFile(path) as zf:
+        names = zf.namelist()
+        pkl_name = next(n for n in names if n.endswith("/data.pkl"))
+        prefix = pkl_name[: -len("data.pkl")]
+        storages = {
+            n[len(prefix) + len("data/"):]: zf.read(n)
+            for n in names
+            if n.startswith(prefix + "data/")
+        }
+        return _Unpickler(io.BytesIO(zf.read(pkl_name)), storages).load()
+
+
+def torch_to_state_dict(obj: Union[str, Dict]) -> Dict[str, np.ndarray]:
+    """Normalize a checkpoint path / payload into a flat ``state_dict``.
+
+    Accepts the reference's wrapper schema (``{'state_dict': ...}``,
+    examples/imagenet.py:218-226) or a bare state_dict; strips DDP's
+    ``module.`` prefix."""
+    if isinstance(obj, (str, os.PathLike)):
+        obj = load_torch_file(os.fspath(obj))
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if not isinstance(obj, dict):
+        raise TypeError(f"expected a state_dict, got {type(obj)}")
+    out = {}
+    for k, v in obj.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = np.asarray(v)
+    return out
+
+
+# our leaf name -> candidate torch leaf names, tried in order
+_LEAF_TO_TORCH = {
+    "kernel": ("weight",),
+    "scale": ("weight",),           # nnx.BatchNorm scale
+    "mean": ("running_mean",),
+    "var": ("running_var",),
+    "bias": ("bias",),
+    "weight": ("weight",),          # PReLU slope
+    "alpha": ("alpha",),            # BasicScaleBinarizer
+}
+
+# torch leaves that have no counterpart here, silently dropped
+_TORCH_ONLY_LEAVES = {"num_batches_tracked"}
+
+
+def _to_ours(t: np.ndarray, leaf: str, target_shape: Tuple[int, ...]):
+    """Reorient a torch tensor to our conventions for the given leaf."""
+    if leaf == "kernel":
+        if t.ndim == 4:      # conv2d OIHW -> HWIO
+            t = np.transpose(t, (2, 3, 1, 0))
+        elif t.ndim == 3:    # conv1d OIW -> WIO
+            t = np.transpose(t, (2, 1, 0))
+        elif t.ndim == 2:    # linear (O, I) -> (I, O)
+            t = t.T
+    if t.shape != tuple(target_shape):
+        if t.size == int(np.prod(target_shape)):
+            t = t.reshape(target_shape)  # e.g. alpha [1,C,1,1] -> (C,)
+        else:
+            return None
+    return t
+
+
+def import_torch_checkpoint(
+    model: nnx.Module,
+    src: Union[str, Dict],
+    strict: bool = True,
+) -> Tuple[List[str], List[str]]:
+    """Load a reference torch checkpoint's tensors into ``model`` in place.
+
+    Returns ``(missing, unexpected)``: our leaves with no torch source, and
+    torch keys that matched nothing. ``strict=True`` raises if either list
+    is non-empty or any shape is irreconcilable.
+    """
+    sd = torch_to_state_dict(src)
+    state = nnx.state(model)
+    pure = nnx.to_pure_dict(state)
+
+    def _walk(d, prefix=()):
+        if isinstance(d, dict):
+            for k, v in d.items():
+                yield from _walk(v, prefix + (k,))
+        else:
+            yield prefix, d
+
+    used, missing, mismatched = set(), [], []
+    flat = dict(_walk(pure))
+    merged = {}
+    for path, cur in flat.items():
+        leaf = str(path[-1])
+        prefix = ".".join(str(p) for p in path[:-1])
+        got = None
+        for tleaf in _LEAF_TO_TORCH.get(leaf, (leaf,)):
+            tkey = f"{prefix}.{tleaf}" if prefix else tleaf
+            if tkey in sd:
+                got = _to_ours(sd[tkey], leaf, np.shape(cur))
+                if got is None:
+                    mismatched.append(
+                        f"{tkey} {sd[tkey].shape} -> {'.'.join(path)} "
+                        f"{np.shape(cur)}")
+                else:
+                    used.add(tkey)
+                break
+        if got is None:
+            missing.append(".".join(str(p) for p in path))
+            merged[path] = cur
+        else:
+            merged[path] = got.astype(np.asarray(cur).dtype)
+
+    unexpected = [
+        k for k in sd
+        if k not in used and k.rsplit(".", 1)[-1] not in _TORCH_ONLY_LEAVES
+    ]
+    if strict and (missing or unexpected or mismatched):
+        raise ValueError(
+            f"torch import mismatch: missing={missing[:5]} "
+            f"unexpected={unexpected[:5]} shape={mismatched[:5]}")
+
+    root: Dict = {}
+    for path, v in merged.items():
+        d = root
+        for k in path[:-1]:
+            d = d.setdefault(k, {})
+        d[path[-1]] = v
+    nnx.replace_by_pure_dict(state, root)
+    nnx.update(model, state)
+    return missing, unexpected
