@@ -15,6 +15,7 @@ from .deploy import (
     model_weight_bytes,
     packed_weight_bytes,
 )
+from .tp import shard_tp_state, tag_tensor_parallel, tp_state_specs
 
 __all__ = [
     "Predictor",
@@ -37,4 +38,7 @@ __all__ = [
     "deploy",
     "model_weight_bytes",
     "packed_weight_bytes",
+    "tag_tensor_parallel",
+    "tp_state_specs",
+    "shard_tp_state",
 ]

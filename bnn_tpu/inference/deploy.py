@@ -116,6 +116,18 @@ def _sign(x, thr, zero_to_one: bool):
     return jnp.where(x > thr, 1, jnp.where(x < thr, -1, 0))
 
 
+def _tp_gather(layer, y: jax.Array) -> jax.Array:
+    """Reassemble full out-channels from a tensor-parallel shard.
+
+    No-op unless :func:`bnn_tpu.inference.tp.tag_tensor_parallel` marked the
+    layer for sharded serving (in which case this executes inside
+    ``shard_map`` and the local ``y`` holds ``O / n_shards`` channels)."""
+    axis = getattr(layer, "tp_axis", None)
+    if axis is not None:
+        y = lax.all_gather(y, axis, axis=y.ndim - 1, tiled=True)
+    return y
+
+
 class DeployedLinear(nnx.Module):
     """Bitpacked dense layer executing via the fused binary GEMM."""
 
@@ -133,6 +145,10 @@ class DeployedLinear(nnx.Module):
         self.interpret = interpret
         self.spatial_post = _spatial_post(layer.activation_post_process)
         self.zero_to_one = _zero_to_one(layer)
+        # set by inference.tp.tag_tensor_parallel: when serving under
+        # shard_map, w_packed/scale/add hold only this chip's out-channel
+        # shard and the layer all-gathers its output over this mesh axis
+        self.tp_axis = None
 
     def __call__(self, x: jax.Array) -> jax.Array:
         lead = x.shape[:-1]
@@ -152,7 +168,8 @@ class DeployedLinear(nnx.Module):
                                       self.scale[...], self.add[...],
                                       sign_inputs=si)
         y = y.astype(self.scale[...].dtype)
-        y = y.reshape(lead + (self.out_features,))
+        y = y.reshape(lead + (-1,))
+        y = _tp_gather(self, y)
         if self.spatial_post is not None:
             y = self.spatial_post(y, x)
         return y
@@ -186,6 +203,7 @@ class DeployedConv(nnx.Module):
         self.stride = layer.stride
         self.padding = layer.padding
         self.dilation = layer.dilation
+        self.groups = layer.groups
 
         wb = layer.weight_pre_process
         w = layer.kernel[...]
@@ -209,9 +227,17 @@ class DeployedConv(nnx.Module):
 
         if mode == "auto":
             # fused Pallas GEMM wins for pointwise convs with a big-enough
-            # reduction; below 256 the int32-tile K padding wastes MXU work
+            # reduction; below 256 the int32-tile K padding wastes MXU work.
+            # Grouped convs (BATS: groups=12 throughout,
+            # reference bnn/models/layers/bats_ops.py:108-173) always take
+            # the XLA grouped-conv path — the GEMM formulation would need a
+            # block-diagonal weight matrix that wastes G x the MXU work.
             k_flat = w_eff.size // out_ch
-            mode = "gemm" if (self._is_pointwise() and k_flat >= 256) else "conv"
+            mode = ("gemm" if (self.groups == 1 and self._is_pointwise()
+                               and k_flat >= 256) else "conv")
+        if self.groups != 1 and mode not in ("conv",):
+            raise NotImplementedError(
+                f"grouped deployed convs support mode='conv' only, got {mode}")
         self.mode = mode
 
         self.weight_format = weight_format
@@ -242,6 +268,8 @@ class DeployedConv(nnx.Module):
         # in inference.optimize); sign becomes sign(x - threshold)
         self.threshold = None
         self.zero_to_one = _zero_to_one(layer)
+        # tensor-parallel serving marker (see inference.tp)
+        self.tp_axis = None
 
     def _sign_in(self, x: jax.Array) -> jax.Array:
         thr = self.threshold[...] if self.threshold is not None else 0.0
@@ -280,6 +308,7 @@ class DeployedConv(nnx.Module):
         xin = x if self.threshold is None else x - self.threshold[...]
         y = binary_conv2d_s1(xin, w, self.scale[...], self.add[...],
                              interpret=self.interpret)
+        y = _tp_gather(self, y)
         if self.spatial_post is not None:
             y = self.spatial_post(y, x)
         return y
@@ -297,11 +326,12 @@ class DeployedConv(nnx.Module):
                             dtype=jnp.int8)
             w = w[..., : self.k, :]  # drop I padding rows
         xs = self._sign_in(x).astype(jnp.int8)
-        y = F.conv(xs, w, self.stride, self.padding, self.dilation, 1,
-                   preferred_element_type=jnp.int32)
+        y = F.conv(xs, w, self.stride, self.padding, self.dilation,
+                   self.groups, preferred_element_type=jnp.int32)
         # epilogue in the scale's dtype (f32 by default; bf16 after
         # utils.cast_floats for a bandwidth-halved float path)
         y = y.astype(self.scale[...].dtype) * self.scale[...] + self.add[...]
+        y = _tp_gather(self, y)
         if self.spatial_post is not None:
             y = self.spatial_post(y, x)
         return y
@@ -330,7 +360,8 @@ class DeployedConv(nnx.Module):
             y = binary_gemm_reference(p2d, self.w_packed[...], self.k,
                                       self.scale[...], self.add[...],
                                       sign_inputs=False)
-        y = y.astype(self.scale[...].dtype).reshape(lead + (self.out_channels,))
+        y = y.astype(self.scale[...].dtype).reshape(lead + (-1,))
+        y = _tp_gather(self, y)
         if self.spatial_post is not None:
             y = self.spatial_post(y, x)
         return y
@@ -348,8 +379,6 @@ def _eligible(m) -> bool:
         return False
     if not isinstance(m.activation_post_process,
                       (BasicScaleBinarizer, XNORScaleBinarizer, Identity)):
-        return False
-    if isinstance(m, (blayers.Conv1d, blayers.Conv2d)) and m.groups != 1:
         return False
     if (isinstance(m.activation_post_process, BasicScaleBinarizer)
             and m.activation_post_process.alpha[...].ndim != 1):

@@ -44,7 +44,14 @@ class Predictor:
                  use_pallas: bool = True, fold_bn: bool = True,
                  space_to_depth: bool = True, fuse: Optional[bool] = None,
                  max_fused_batch: int = 4, mesh=None, batch_axis: str = "data",
+                 tensor_parallel: bool = False, model_axis: str = "model",
                  quantize_float_bits: Optional[int] = None):
+        if tensor_parallel:
+            assert mesh is not None and mesh.shape[model_axis] > 1, (
+                "tensor_parallel needs a mesh with a >1 model axis")
+            # block megakernels reduce over conv1's FULL channels — they
+            # cannot consume a channel shard, so TP serving stays unfused
+            fuse = False
         model.eval()
         model = deploy(model, weight_format=weight_format,
                        use_pallas=use_pallas)
@@ -68,6 +75,10 @@ class Predictor:
         self.batch_size = batch_size
         self.dtype = dtype or jnp.float32
         self.mesh = mesh
+        self.tensor_parallel = tensor_parallel
+        if tensor_parallel:
+            from .tp import tag_tensor_parallel
+            self.tp_layers = tag_tensor_parallel(model, mesh, axis=model_axis)
         self._graphdef, self._state = nnx.split(model)
 
         def _run(state, x):
@@ -81,13 +92,27 @@ class Predictor:
 
             n_shard = mesh.shape[batch_axis]
             assert batch_size % n_shard == 0, (batch_size, n_shard)
-            # replicate the deployed weights once; shard requests on batch
-            self._state = jax.device_put(
-                jax.tree.map(jnp.asarray, self._state),
-                NamedSharding(mesh, P()))
+            if tensor_parallel:
+                # north-star topology: each chip holds an out-channel shard
+                # of every eligible layer's packed weights + epilogue; the
+                # forward all-gathers per layer over ICI (inference.tp)
+                from .tp import shard_tp_state, tp_state_specs
+                merged = nnx.merge(self._graphdef, self._state)
+                specs = tp_state_specs(merged, axis=model_axis)
+                self._state = shard_tp_state(
+                    jax.tree.map(jnp.asarray, self._state), specs, mesh)
+                x_spec = P(batch_axis)
+                state_specs = specs
+            else:
+                # replicate the deployed weights; shard requests on batch
+                self._state = jax.device_put(
+                    jax.tree.map(jnp.asarray, self._state),
+                    NamedSharding(mesh, P()))
+                x_spec = P(batch_axis)
+                state_specs = P()
             sharded = jax.shard_map(
-                _run, mesh=mesh, in_specs=(P(), P(batch_axis)),
-                out_specs=P(batch_axis), check_vma=False)
+                _run, mesh=mesh, in_specs=(state_specs, x_spec),
+                out_specs=x_spec, check_vma=False)
             self._forward = jax.jit(sharded)
 
     def served_model(self) -> nnx.Module:
