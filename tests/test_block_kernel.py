@@ -300,6 +300,7 @@ class TestPreActivationFusion:
         assert fuse_blocks(dep, interpret=True) == 2  # no optimize first
         np.testing.assert_allclose(dep(x), expected, rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_preact_resnet18_full_fusion(self):
         from bnn_tpu import models
         from bnn_tpu.models.layers import PreBasicBlock

@@ -131,6 +131,7 @@ class TestFuseBottleneckPass:
         fuse_blocks(dep, max_fused_batch=2, interpret=True)
         np.testing.assert_allclose(dep(x), expected, rtol=1e-6, atol=1e-6)
 
+    @pytest.mark.slow
     def test_resnet50_fusion_parity(self):
         def build_dep():
             m = models.resnet50(num_classes=10, rngs=nnx.Rngs(0))

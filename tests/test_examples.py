@@ -11,6 +11,7 @@ def _run(script, argv, monkeypatch):
     runpy.run_path(script, run_name="__main__")
 
 
+@pytest.mark.slow
 def test_cifar10_one_epoch(tmp_path, monkeypatch, capsys):
     import examples  # noqa: F401  (ensures repo root on path via conftest)
     _run("examples/cifar10.py",
@@ -21,6 +22,7 @@ def test_cifar10_one_epoch(tmp_path, monkeypatch, capsys):
     assert "Best accuracy" in out
 
 
+@pytest.mark.slow
 def test_imagenet_two_steps(tmp_path, monkeypatch, capsys):
     _run("examples/imagenet.py",
          ["--synthetic", "--epochs", "1", "--batch-size", "16",
@@ -32,6 +34,7 @@ def test_imagenet_two_steps(tmp_path, monkeypatch, capsys):
     assert "Acc@1" in out
 
 
+@pytest.mark.slow
 def test_imagenet_with_native_loader(tmp_path, monkeypatch, capsys):
     """--data path with a uint8 store exercises NativeDataLoader +
     prefetch_to_device end to end."""
@@ -53,6 +56,7 @@ def test_imagenet_with_native_loader(tmp_path, monkeypatch, capsys):
     assert "Acc@1" in out
 
 
+@pytest.mark.slow
 def test_imagenet_accum_zero1(tmp_path, monkeypatch, capsys):
     """--accum-steps + --zero1 flags run end to end on the virtual mesh."""
     _run("examples/imagenet.py",
@@ -74,6 +78,7 @@ def test_serve_example(monkeypatch, capsys):
     assert "request 1:" in out
 
 
+@pytest.mark.slow
 def test_imagenet_resume_restores_optimizer(tmp_path, monkeypatch, capsys):
     """Train 1 epoch, then resume: the trainer must restore the optimizer
     moments + schedule position from the checkpoint (VERDICT r2 missing #2),

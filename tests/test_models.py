@@ -128,6 +128,7 @@ class TestBatsOps:
 
 
 class TestBatsNetworks:
+    @pytest.mark.slow
     def test_cifar_network_forward(self):
         net = models.BATSNetworkCIFAR(C=16, num_classes=10, layers=4,
                                       auxiliary=False,
@@ -150,6 +151,7 @@ class TestBatsNetworks:
         assert logits.shape == (2, 10)
         assert aux is not None and aux.shape == (2, 10)
 
+    @pytest.mark.slow
     def test_imagenet_network_forward(self):
         net = models.BATSNetworkImageNet(C=20, num_classes=10, layers=4,
                                          auxiliary=False,

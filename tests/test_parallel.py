@@ -273,6 +273,7 @@ class TestPipelineParallel:
             np.testing.assert_allclose(np.asarray(y), np.asarray(y_seq),
                                        rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.slow
     def test_pipeline_backward(self):
         """jax.grad through the pipeline schedule equals the sequential
         gradient (GPipe backward for free via scan/ppermute transposes)."""
