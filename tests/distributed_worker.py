@@ -1,0 +1,96 @@
+"""Worker for the real two-process distributed test (run via subprocess).
+
+Proves the DCN rendezvous path — ``jax.distributed.initialize`` against a
+live coordinator, cross-process collectives (gloo CPU backend), a global
+mesh spanning both processes, one DP train step, and disjoint
+DistributedSampler-equivalent host shards — the capability the reference
+gets from ``init_process_group``/DDP/DistributedSampler
+(reference examples/imagenet.py:139-147, 285-292).
+
+Usage: distributed_worker.py <coordinator addr:port> <process_id> <nprocs>
+"""
+import os
+import sys
+
+coordinator, pid, nprocs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=2").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=coordinator,
+                           num_processes=nprocs, process_id=pid)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+from flax import nnx  # noqa: E402
+
+from bnn_tpu import BConfig, nn, prepare_binary_model  # noqa: E402
+from bnn_tpu.data import NativeDataLoader  # noqa: E402
+from bnn_tpu.ops import (  # noqa: E402
+    BasicInputBinarizer,
+    BasicScaleBinarizer,
+    XNORWeightBinarizer,
+)
+from bnn_tpu.parallel import make_mesh, make_train_step  # noqa: E402
+
+assert jax.process_count() == nprocs, jax.process_count()
+assert jax.device_count() == 2 * nprocs, jax.device_count()
+assert jax.local_device_count() == 2
+
+mesh = make_mesh()  # (data=4, model=1) over both processes
+
+rngs = nnx.Rngs(0)
+model = nn.Sequential(
+    nn.Conv2d(3, 16, 3, padding=1, rngs=rngs),
+    nn.BatchNorm2d(16, rngs=rngs),
+    nn.PReLU(16, rngs=rngs),
+    nn.AdaptiveAvgPool2d(1),
+    nn.Flatten(),
+    nn.Linear(16, 4, rngs=rngs),
+)
+model = prepare_binary_model(
+    model,
+    bconfig=BConfig(BasicInputBinarizer, BasicScaleBinarizer,
+                    XNORWeightBinarizer),
+    ignore_layers_name=["_first_", "_last_"],
+)
+model.train()
+optimizer = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
+
+# identical global batch on every host, assembled from host-local shards
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+global_batch = 8
+x_all = np.random.RandomState(0).randn(global_batch, 8, 8, 3).astype(np.float32)
+y_all = np.random.RandomState(1).randint(0, 4, global_batch).astype(np.int32)
+local = slice(pid * global_batch // nprocs, (pid + 1) * global_batch // nprocs)
+sharding = NamedSharding(mesh, P("data"))
+x = jax.make_array_from_process_local_data(sharding, x_all[local],
+                                           x_all.shape)
+y = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), y_all[local], y_all.shape)
+
+step = make_train_step()
+metrics = step(model, optimizer, x, y)
+loss = float(metrics["loss"])
+assert np.isfinite(loss), loss
+
+# DistributedSampler-equivalent host shards must be disjoint across
+# processes and cover the dataset
+loader = NativeDataLoader(
+    np.zeros((32, 8, 8, 3), np.uint8), np.zeros((32,), np.int64),
+    batch_size=4, seed=0, process_index=pid, process_count=nprocs)
+loader.set_epoch(3)
+idx = sorted(int(i) for i in loader._epoch_indices())
+
+print(f"RESULT pid={pid} loss={loss:.6f} shard={','.join(map(str, idx))}",
+      flush=True)
