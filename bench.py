@@ -126,11 +126,13 @@ def main():
 
     # serving latency: full optimized pipeline (BN folds + fused Pallas
     # stem megakernel + whole-block megakernels) at batch 1
-    from bnn_tpu.inference import fuse_blocks, fuse_stem, optimize_deployed
+    from bnn_tpu.inference import (fuse_blocks, fuse_stages, fuse_stem,
+                                   optimize_deployed)
     dep_s = deploy(build(), use_pallas=on_tpu, weight_format="int8")
     optimize_deployed(dep_s)
     if on_tpu:
         fuse_stem(dep_s)
+        fuse_stages(dep_s, kinds=("pair",))
         fuse_blocks(dep_s, max_fused_batch=4)
     cast_floats(dep_s, jnp.bfloat16)
     to_bench_device(dep_s)

@@ -8,12 +8,14 @@ from .compress import (
     state_bytes,
 )
 from .stem import FusedStem, SpaceToDepthConv, fuse_stem, space_to_depth_stem
+from .stages import FusedStage, fuse_stages
 from .deploy import (
     DeployedConv,
     DeployedLinear,
     deploy,
     model_weight_bytes,
     packed_weight_bytes,
+    set_gemm_impl,
 )
 from .tp import shard_tp_state, tag_tensor_parallel, tp_state_specs
 
@@ -24,8 +26,10 @@ __all__ = [
     "SpaceToDepthConv",
     "space_to_depth_stem",
     "FusedBlock",
+    "FusedStage",
     "default_fuse_predicate",
     "fuse_blocks",
+    "fuse_stages",
     "optimize_deployed",
     "fold_bn_after",
     "fold_bn_before",
@@ -41,4 +45,5 @@ __all__ = [
     "tag_tensor_parallel",
     "tp_state_specs",
     "shard_tp_state",
+    "set_gemm_impl",
 ]

@@ -45,7 +45,8 @@ from .. import functional as F
 from .. import layers as blayers
 from ..binarize import named_modules, set_module_by_name
 from ..kernels.conv import binary_conv2d_s1, supports as _pallas_conv_supports
-from ..kernels.gemm import binary_gemm, binary_gemm_reference
+from ..kernels.gemm import (binary_gemm, binary_gemm_reference, popcount_gemm,
+                            popcount_gemm_reference)
 from ..kernels.packing import pack_bits, unpack_bits
 from ..ops.binarizers import (
     AdvancedInputBinarizer,
@@ -57,7 +58,7 @@ from ..ops.binarizers import (
 )
 
 __all__ = ["deploy", "DeployedLinear", "DeployedConv", "packed_weight_bytes",
-           "model_weight_bytes"]
+           "model_weight_bytes", "set_gemm_impl"]
 
 
 def _fold_epilogue(layer) -> tuple:
@@ -149,10 +150,31 @@ class DeployedLinear(nnx.Module):
         # shard_map, w_packed/scale/add hold only this chip's out-channel
         # shard and the layer all-gathers its output over this mesh axis
         self.tp_axis = None
+        # 'mxu' (default int8-MXU binary_gemm) or 'popcount' (packed
+        # activations + VPU XNOR/popcount — the bandwidth variant; set via
+        # set_gemm_impl, requires zero_to_one training)
+        self.gemm_impl = "mxu"
 
     def __call__(self, x: jax.Array) -> jax.Array:
         lead = x.shape[:-1]
         x2d = x.reshape(-1, x.shape[-1])
+        if self.gemm_impl == "popcount":
+            # activations stream at 1 bit/element: pack_bits signs with the
+            # deployed sign(0)=+1 convention, which is exactly the
+            # zero_to_one QAT semantics this mode requires
+            if self.use_pallas:
+                y = popcount_gemm(pack_bits(x2d, axis=-1), self.w_packed[...],
+                                  self.k, self.scale[...], self.add[...],
+                                  interpret=self.interpret)
+            else:
+                y = popcount_gemm_reference(x2d, self.w_packed[...], self.k,
+                                            self.scale[...], self.add[...])
+            y = y.astype(self.scale[...].dtype)
+            y = y.reshape(lead + (-1,))
+            y = _tp_gather(self, y)
+            if self.spatial_post is not None:
+                y = self.spatial_post(y, x)
+            return y
         # zero_to_one=True signs inside the kernel (free); torch-parity
         # sign(0)=0 pre-signs to ternary int-exact values (kernels consume
         # {-1, 0, +1} exactly with sign_inputs=False)
@@ -270,6 +292,8 @@ class DeployedConv(nnx.Module):
         self.zero_to_one = _zero_to_one(layer)
         # tensor-parallel serving marker (see inference.tp)
         self.tp_axis = None
+        # 'mxu' | 'popcount' (pointwise gemm-mode convs only; set_gemm_impl)
+        self.gemm_impl = "mxu"
 
     def _sign_in(self, x: jax.Array) -> jax.Array:
         thr = self.threshold[...] if self.threshold is not None else 0.0
@@ -288,11 +312,37 @@ class DeployedConv(nnx.Module):
         return all(p == 0 for p in F._ntuple(self.padding, nd))
 
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.gemm_impl == "popcount":
+            return self._call_popcount(x)
         if self.mode in ("gemm", "im2col"):
             return self._call_im2col(x)
         if self.mode == "pallas-conv":
             return self._call_pallas_conv(x)
         return self._call_conv(x)
+
+    def _call_popcount(self, x: jax.Array) -> jax.Array:
+        """Packed-activation XNOR/popcount execution (pointwise convs).
+
+        Every patch element of a 1x1/s1/p0 conv is a real activation (no
+        conv zero-padding, which the strictly-binary packed form cannot
+        represent), so the popcount dot is exact. ``pack_bits`` applies the
+        sign(0)=+1 / zero_to_one convention during packing."""
+        lead = x.shape[:-1]
+        x2d = x.reshape(-1, x.shape[-1])
+        if self.threshold is not None:
+            x2d = x2d - self.threshold[...]
+        if self.use_pallas:
+            y = popcount_gemm(pack_bits(x2d, axis=-1), self.w_packed[...],
+                              self.k, self.scale[...], self.add[...],
+                              interpret=self.interpret)
+        else:
+            y = popcount_gemm_reference(x2d, self.w_packed[...], self.k,
+                                        self.scale[...], self.add[...])
+        y = y.astype(self.scale[...].dtype).reshape(lead + (-1,))
+        y = _tp_gather(self, y)
+        if self.spatial_post is not None:
+            y = self.spatial_post(y, x)
+        return y
 
     def _call_pallas_conv(self, x: jax.Array) -> jax.Array:
         """Experimental fully-fused Pallas conv (stride-1 only); the XLA
@@ -412,6 +462,54 @@ def deploy(model: nnx.Module, *, use_pallas: bool = True,
     for name, new in replacements.items():
         set_module_by_name(model, name, new)
     return model
+
+
+def set_gemm_impl(model: nnx.Module, impl: str = "popcount"):
+    """Switch eligible deployed layers between binary GEMM implementations.
+
+    ``'mxu'`` (default): int8-MXU :func:`~bnn_tpu.kernels.gemm.binary_gemm`
+    — the compute-rate-optimal path (~354 TOP/s measured on v5e).
+    ``'popcount'``: packed activations + VPU XNOR/popcount
+    (:func:`~bnn_tpu.kernels.gemm.popcount_gemm`) — activations stream at
+    1 bit/element, the compute form whose activations can cross ICI packed.
+    Measured end to end on v5e (benchmarks/popcount_mode.py, round 3) it is
+    4-12x SLOWER than 'mxu' at every serving shape tested — the in-graph
+    ``pack_bits`` pass plus the VPU's popcount rate never beat the int8 MXU
+    on-chip — so this is a capability/off-chip-bandwidth mode, not a speed
+    mode.
+
+    Eligible for popcount: layers trained with ``zero_to_one=True`` (the
+    strictly-binary convention packing implements; torch-parity ternary
+    sign(0)=0 cannot be represented in packed bits) — dense layers, and
+    pointwise convs on the GEMM path (conv zero-padding never enters the
+    patch, so the packed dot stays exact). Everything else keeps 'mxu'.
+    Returns the names switched.
+    """
+    assert impl in ("mxu", "popcount"), impl
+    changed = []
+    for name, m in named_modules(model):
+        if impl == "mxu":
+            if getattr(m, "gemm_impl", "mxu") != "mxu":
+                m.gemm_impl = "mxu"
+                changed.append(name)
+        elif isinstance(m, DeployedLinear) and m.zero_to_one:
+            m.gemm_impl = impl
+            changed.append(name)
+        elif (isinstance(m, DeployedConv) and m.zero_to_one
+              and m.groups == 1 and m._is_pointwise()):
+            if m.mode not in ("gemm", "im2col"):
+                # normalize conv-mode storage to the (Kw, O) GEMM layout —
+                # for a 1x1 kernel the two orderings coincide modulo the
+                # leading unit spatial dims
+                wp = m.w_packed[...]
+                if m.weight_format == "int8":
+                    wp = pack_bits(wp.astype(jnp.float32), axis=-2)
+                    m.weight_format = "packed"
+                m.w_packed = nnx.Variable(wp.reshape(-1, wp.shape[-1]))
+                m.mode = "gemm"
+            m.gemm_impl = impl
+            changed.append(name)
+    return changed
 
 
 def packed_weight_bytes(model: nnx.Module) -> int:

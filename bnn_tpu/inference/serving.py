@@ -45,6 +45,7 @@ class Predictor:
                  space_to_depth: bool = True, fuse: Optional[bool] = None,
                  max_fused_batch: int = 4, mesh=None, batch_axis: str = "data",
                  tensor_parallel: bool = False, model_axis: str = "model",
+                 binary_gemm_impl: str = "mxu",
                  quantize_float_bits: Optional[int] = None):
         if tensor_parallel:
             assert mesh is not None and mesh.shape[model_axis] > 1, (
@@ -57,6 +58,12 @@ class Predictor:
                        use_pallas=use_pallas)
         if fold_bn:
             optimize_deployed(model)
+        self.popcount_layers = []
+        if binary_gemm_impl != "mxu":
+            # packed-activation XNOR/popcount execution for eligible layers
+            # (bandwidth variant — see deploy.set_gemm_impl)
+            from .deploy import set_gemm_impl
+            self.popcount_layers = set_gemm_impl(model, binary_gemm_impl)
         if quantize_float_bits is not None:
             # weight-only int8/int4 storage for the big float layers (the
             # classifier head); sign-feeding small convs stay float — see
@@ -69,6 +76,12 @@ class Predictor:
             fuse = use_pallas
         if fuse:  # both dispatch per traced batch; no-op above the caps
             fuse_stem(model)
+            # whole-stage kernel for the stride-1 pair (layer1) — measured
+            # faster than two chained block kernels at B=1; the downsample
+            # stage kernels measured slower than XLA's convs and stay
+            # opt-in (inference.stages docstring)
+            from .stages import fuse_stages
+            fuse_stages(model, kinds=("pair",))
             fuse_blocks(model, max_fused_batch=max_fused_batch)
         if dtype is not None:
             cast_floats(model, dtype)

@@ -1,0 +1,165 @@
+"""Whole-stage fusion pass for B=1 serving.
+
+Replaces a ResNet stage (``model.layerN``, an ``nn.Sequential`` of two
+deployed BasicBlocks) with ONE Pallas megakernel dispatch
+(kernels/model.py): a stride-1 pair (layer1) via :func:`fused_pair`, a
+downsample + stride-1 pair (layer2/3/4) via :func:`fused_down_stage`.
+
+Measured on v5e (B=1 binary ResNet-18, post-act, interleaved A/B,
+round 3): fusing ALL stages is a net LOSS (min 72 vs 66 us) — the
+downsample stage kernels inherit the strided-conv in-VMEM patch-assembly
+floor that already made the per-block FusedDownBlock lose post-act
+(megablock.fuse_blocks docstring) and two extra fused boundaries don't
+pay for it. Fusing only the PAIR stage (layer1, the widest feature map)
+wins: min 61.0 / med 68.7 vs min 66.4 / med 70.8 for per-block fusion —
+hence ``Predictor`` applies ``fuse_stages(kinds=("pair",))`` before
+``fuse_blocks`` and the down-stage kernels stay available via
+``kinds=("pair", "down")`` for chips/models where the tradeoff differs.
+(The per-prefix decomposition after this change: stem 30.8 us, layer1
+10.4, layer2 11.8, layer3 5.0, layer4 2.7, pool+fc 0.5 — the stem is now
+half the model; see kernels/stem.py for its analysis.)
+
+Apply after :func:`~bnn_tpu.inference.deploy` +
+:func:`~bnn_tpu.inference.optimize.optimize_deployed`, before
+:func:`~bnn_tpu.inference.megablock.fuse_blocks` — stages this pass takes
+are whole Sequentials, so the per-block pass never sees them. Each
+:class:`FusedStage` keeps the original Sequential (same weight arrays)
+for the large-batch fallback and checkpoint round-trips.
+"""
+from __future__ import annotations
+
+from flax import nnx
+
+from ..binarize import named_modules, set_module_by_name
+from ..kernels.model import BlockParams, fused_down_stage, fused_pair
+from ..models.layers import BasicBlock, PreBasicBlock
+from .. import nn
+from .megablock import (
+    _act_kind,
+    _conv_weight_int8,
+    _eligible,
+    _eligible_down,
+    _eligible_pre,
+)
+
+__all__ = ["FusedStage", "fuse_stages"]
+
+
+def _thr(conv):
+    return conv.threshold[...] if conv.threshold is not None else None
+
+
+def _slope(act):
+    _, s = _act_kind(act)
+    return s[...] if s is not None else None
+
+
+def _basic_params(block) -> BlockParams:
+    return BlockParams(
+        "basic",
+        _conv_weight_int8(block.conv1),
+        _conv_weight_int8(block.conv2),
+        scale1=block.conv1.scale[...], add1=block.conv1.add[...],
+        prelu1=_slope(block.act1),
+        scale2=block.conv2.scale[...], add2=block.conv2.add[...],
+        prelu2=_slope(block.act2),
+        threshold=_thr(block.conv1), threshold2=_thr(block.conv2))
+
+
+def _down_params(block) -> BlockParams:
+    dconv = block.downsample[1]
+    return BlockParams(
+        "down",
+        _conv_weight_int8(block.conv1),
+        _conv_weight_int8(block.conv2),
+        wd=_conv_weight_int8(dconv).reshape(block.conv1.in_channels, -1),
+        scale1=block.conv1.scale[...], add1=block.conv1.add[...],
+        prelu1=_slope(block.act1),
+        scale2=block.conv2.scale[...], add2=block.conv2.add[...],
+        prelu2=_slope(block.act2),
+        scaled=dconv.scale[...], addd=dconv.add[...],
+        threshold=_thr(block.conv1), threshold2=_thr(block.conv2),
+        thresholdd=_thr(dconv))
+
+
+class FusedStage(nnx.Module):
+    """One-kernel execution of a whole deployed ResNet stage at B=1."""
+
+    def __init__(self, stage, *, kind: str, pre: bool = False,
+                 max_fused_batch: int = 1, interpret: bool = False):
+        assert kind in ("pair", "down")
+        self.stage = stage  # original Sequential (same arrays; fallback)
+        self.kind = kind
+        self.pre = pre
+        self.max_fused_batch = max_fused_batch
+        self.interpret = interpret
+
+    def __call__(self, x):
+        b0, b1 = self.stage[0], self.stage[1]
+        n, h, w, _ = x.shape
+        if n > self.max_fused_batch or h % 2 or w % 2:
+            return self.stage(x)
+        a1, _ = _act_kind(b0.act1)
+        a2, _ = _act_kind(b0.act2)
+        z21 = getattr(b0.conv1, "zero_to_one", False)
+        if self.kind == "pair":
+            return fused_pair(
+                x, [_basic_params(b0), _basic_params(b1)],
+                act=(a1, a2), pre=self.pre, zero_to_one=z21,
+                out_dtype=x.dtype, interpret=self.interpret)
+        return fused_down_stage(
+            x, [_down_params(b0), _basic_params(b1)],
+            act=(a1, a2), pre=self.pre, zero_to_one=z21,
+            out_dtype=x.dtype, interpret=self.interpret)
+
+
+def _stage_eligible(seq) -> str:
+    """'' | 'pair' | 'down' (+ 'pre-' prefix) for a candidate Sequential."""
+    if not isinstance(seq, nn.Sequential) or len(seq) != 2:
+        return ""
+    b0, b1 = seq[0], seq[1]
+    if not (isinstance(b0, (BasicBlock, PreBasicBlock))
+            and isinstance(b1, (BasicBlock, PreBasicBlock))
+            and type(b0) is type(b1)):
+        return ""
+    pre = isinstance(b0, PreBasicBlock)
+    ok1 = _eligible_pre(b1) if isinstance(b1, PreBasicBlock) else _eligible(b1)
+    if not ok1:
+        return ""
+    if b0.downsample is None:
+        ok0 = (_eligible_pre(b0) if isinstance(b0, PreBasicBlock)
+               else _eligible(b0))
+        return ("pre-pair" if pre else "pair") if ok0 else ""
+    if _eligible_down(b0):
+        return "pre-down" if pre else "down"
+    return ""
+
+
+def fuse_stages(model: nnx.Module, *, max_fused_batch: int = 1,
+                kinds=("pair", "down"), interpret: bool = False) -> int:
+    """Replace eligible whole stages with :class:`FusedStage` (in place).
+
+    Returns the number of stages fused. Remaining individual blocks can
+    still be taken by :func:`~bnn_tpu.inference.megablock.fuse_blocks`
+    afterwards. ``kinds`` restricts which stage shapes fuse — e.g.
+    ``("pair",)`` fuses only the stride-1 pair (layer1) and leaves the
+    downsample stages to the per-block pass/XLA.
+    """
+    fused = 0
+    done = []
+    for name, m in list(named_modules(model)):
+        if isinstance(m, FusedStage):
+            done.append(name + ".")
+            continue
+        if any(name.startswith(p) for p in done):
+            continue
+        kind = _stage_eligible(m)
+        if not kind or kind.replace("pre-", "") not in kinds:
+            continue
+        pre = kind.startswith("pre-")
+        set_module_by_name(model, name, FusedStage(
+            m, kind=kind.replace("pre-", ""), pre=pre,
+            max_fused_batch=max_fused_batch, interpret=interpret))
+        done.append(name + ".")
+        fused += 1
+    return fused

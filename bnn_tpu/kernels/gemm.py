@@ -128,6 +128,12 @@ def binary_gemm(
     bn = min(block_n, _round_up(n, 128))
     bk = min(block_k, _round_up(k, 256))
     assert bk % 32 == 0
+    if sign_inputs and bm < 128:
+        # Mosaic (jax 0.9) rejects the in-kernel sign's i1 mask relayout on
+        # short row blocks ("Invalid relayout ... vector<64x512xi1>"); the
+        # sign is a single cheap XLA pass at these sizes, so hoist it
+        x = jnp.where(x >= 0, 1, -1).astype(jnp.int8)
+        sign_inputs = False
 
     mp, np_, kp = _round_up(m, bm), _round_up(n, bn), _round_up(k, bk)
     xq = jnp.pad(x, ((0, mp - m), (0, kp - k))) if (mp != m or kp != k) else x

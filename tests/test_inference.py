@@ -396,3 +396,78 @@ class TestGroupedDeploy:
         rel = float(jnp.linalg.norm(got - exp) / jnp.linalg.norm(exp))
         assert rel < 0.15, rel
         assert model_weight_bytes(dep) < before
+
+
+class TestPopcountServing:
+    """Packed-activation XNOR/popcount serving mode (VERDICT r2 next #6):
+    exact vs the default int8-MXU path for zero_to_one-trained layers."""
+
+    Z1 = BConfig(
+        activation_pre_process=BasicInputBinarizer.with_args(zero_to_one=True),
+        activation_post_process=BasicScaleBinarizer,
+        weight_pre_process=XNORWeightBinarizer,
+    )
+
+    def test_linear_popcount_exact(self):
+        from bnn_tpu.inference import set_gemm_impl
+
+        layer = blayers.Linear(96, 32, bconfig=self.Z1, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.key(30), (4, 96))
+        dep = deploy(layer, use_pallas=False)
+        expected = dep(x)
+        assert set_gemm_impl(dep) == [""]
+        assert dep.gemm_impl == "popcount"
+        np.testing.assert_allclose(dep(x), expected, rtol=1e-6, atol=1e-6)
+
+    def test_pointwise_conv_popcount_exact(self):
+        from bnn_tpu.inference import set_gemm_impl
+
+        layer = blayers.Conv2d(320, 64, 1, bconfig=self.Z1, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.key(31), (2, 4, 4, 320))
+        dep = deploy(layer, use_pallas=False)
+        assert dep.mode == "gemm"
+        expected = dep(x)
+        set_gemm_impl(dep)
+        assert dep.gemm_impl == "popcount"
+        np.testing.assert_allclose(dep(x), expected, rtol=1e-6, atol=1e-6)
+
+    def test_ternary_layers_stay_mxu(self):
+        from bnn_tpu.inference import set_gemm_impl
+
+        # torch-parity sign(0)=0 cannot pack; must not switch
+        layer = blayers.Linear(96, 32, bconfig=BCONFIG, rngs=nnx.Rngs(0))
+        dep = deploy(layer, use_pallas=False)
+        assert set_gemm_impl(dep) == []
+        assert dep.gemm_impl == "mxu"
+
+    def test_padded_conv_stays_mxu(self):
+        from bnn_tpu.inference import set_gemm_impl
+
+        layer = blayers.Conv2d(320, 64, 3, padding=1, bconfig=self.Z1,
+                               rngs=nnx.Rngs(0))
+        dep = deploy(layer, use_pallas=False)
+        assert set_gemm_impl(dep) == []
+
+    def test_predictor_popcount_mode(self):
+        from bnn_tpu.inference import Predictor
+
+        rngs = nnx.Rngs(0)
+        net = nn.Sequential(
+            nn.Conv2d(3, 64, 3, padding=1, rngs=rngs),
+            nn.BatchNorm2d(64, rngs=rngs),
+            nn.PReLU(64, rngs=rngs),
+            nn.Conv2d(64, 512, 1, rngs=rngs),   # pointwise -> popcount
+            nn.AdaptiveAvgPool2d(1),
+            nn.Flatten(),
+            nn.Linear(512, 16, rngs=rngs),       # dense -> popcount
+        )
+        net = prepare_binary_model(net, bconfig=self.Z1,
+                                   ignore_layers_name=["_first_"])
+        net.eval()
+        common = dict(batch_size=4, use_pallas=False, fuse=False,
+                      space_to_depth=False, dtype=None)
+        x = np.asarray(jax.random.normal(jax.random.key(32), (4, 8, 8, 3)))
+        ref = Predictor.from_model(net, **common)
+        pred = Predictor.from_model(net, binary_gemm_impl="popcount", **common)
+        assert len(pred.popcount_layers) >= 2, pred.popcount_layers
+        np.testing.assert_allclose(pred(x), ref(x), rtol=1e-5, atol=1e-5)

@@ -1,0 +1,139 @@
+"""Whole-stage megakernels (kernels/model.py) + the fusion pass
+(inference/stages.py). Kernels run in interpret mode on CPU against the
+jnp oracles / the unfused deployed graph."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from bnn_tpu import BConfig, models, prepare_binary_model
+from bnn_tpu.inference import deploy, fuse_blocks, fuse_stages, optimize_deployed
+from bnn_tpu.inference.stages import FusedStage
+from bnn_tpu.kernels.model import (
+    BlockParams,
+    fused_down_stage,
+    fused_down_stage_reference,
+    fused_pair,
+    fused_pair_reference,
+)
+from bnn_tpu.ops import (
+    BasicInputBinarizer,
+    BasicScaleBinarizer,
+    XNORWeightBinarizer,
+)
+
+rng = np.random.RandomState(7)
+
+
+def rw(*s):
+    return jnp.asarray(np.where(rng.randn(*s) >= 0, 1, -1), jnp.int8)
+
+
+def rf(*s):
+    return jnp.asarray(rng.randn(*s).astype(np.float32))
+
+
+def mk_basic(c):
+    return BlockParams("basic", rw(3, 3, c, c), rw(3, 3, c, c),
+                       scale1=jnp.abs(rf(c)) + 0.1, add1=rf(c) * 0.1,
+                       scale2=jnp.abs(rf(c)) + 0.1, add2=rf(c) * 0.1,
+                       threshold=rf(c) * 0.05, threshold2=rf(c) * 0.05)
+
+
+def mk_down(ci):
+    co = 2 * ci
+    return BlockParams("down", rw(3, 3, ci, co), rw(3, 3, co, co),
+                       wd=rw(ci, co),
+                       scale1=jnp.abs(rf(co)) + 0.1, add1=rf(co) * 0.1,
+                       scale2=jnp.abs(rf(co)) + 0.1, add2=rf(co) * 0.1,
+                       scaled=jnp.abs(rf(co)) + 0.1, addd=rf(co) * 0.1,
+                       threshold=rf(ci) * 0.05, threshold2=rf(co) * 0.05,
+                       thresholdd=rf(ci) * 0.05)
+
+
+class TestStageKernels:
+    def test_pair_matches_reference(self):
+        c = 8
+        x = rf(1, 16, 16, c)
+        blocks = [mk_basic(c), mk_basic(c)]
+        got = fused_pair(x, blocks, interpret=True)
+        ref = fused_pair_reference(x, blocks)
+        np.testing.assert_allclose(got.astype(jnp.float32), ref,
+                                   rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("pre,z21", [(False, True), (True, False)])
+    def test_down_stage_matches_reference(self, pre, z21):
+        c = 8
+        x = rf(1, 16, 16, c)
+        blocks = [mk_down(c), mk_basic(2 * c)]
+        got = fused_down_stage(x, blocks, act="prelu", pre=pre,
+                               zero_to_one=z21, interpret=True)
+        ref = fused_down_stage_reference(x, blocks, act="prelu", pre=pre,
+                                         zero_to_one=z21)
+        np.testing.assert_allclose(got.astype(jnp.float32), ref,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_down_stage_with_head(self):
+        c = 8
+        x = rf(1, 16, 16, c)
+        blocks = [mk_down(c), mk_basic(2 * c)]
+        wfc, bfc = rf(2 * c, 10), rf(10)
+        got = fused_down_stage(x, blocks, wfc, bfc, interpret=True)
+        ref = fused_down_stage_reference(x, blocks, wfc, bfc)
+        assert got.shape == (1, 10)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+BC = BConfig(
+    activation_pre_process=BasicInputBinarizer.with_args(zero_to_one=True),
+    activation_post_process=BasicScaleBinarizer,
+    weight_pre_process=XNORWeightBinarizer,
+)
+
+
+def _deployed_resnet18():
+    m = models.resnet18(num_classes=10, rngs=nnx.Rngs(0))
+    m = prepare_binary_model(m, bconfig=BC,
+                             ignore_layers_name=["_first_", "_last_"])
+    m.eval()
+    m = deploy(m, use_pallas=False)
+    optimize_deployed(m)
+    return m
+
+
+class TestFuseStagesPass:
+    @pytest.mark.slow
+    def test_resnet18_all_stages_bit_exact(self):
+        ref = _deployed_resnet18()
+        x = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
+        expected = ref(x)
+
+        dep = _deployed_resnet18()
+        n = fuse_stages(dep, interpret=True)
+        assert n == 4
+        assert isinstance(dep.layer1, FusedStage)
+        assert isinstance(dep.layer4, FusedStage)
+        np.testing.assert_array_equal(dep(x), expected)
+
+    def test_pair_only_policy_composes_with_fuse_blocks(self):
+        ref = _deployed_resnet18()
+        x = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
+        expected = ref(x)
+
+        dep = _deployed_resnet18()
+        n = fuse_stages(dep, kinds=("pair",), interpret=True)
+        assert n == 1  # only layer1
+        assert isinstance(dep.layer1, FusedStage)
+        assert not isinstance(dep.layer2, FusedStage)
+        nb = fuse_blocks(dep, max_fused_batch=4, interpret=True)
+        assert nb >= 3  # the layerN.1 stride-1 blocks; layer1 untouched
+        np.testing.assert_array_equal(dep(x), expected)
+
+    def test_large_batch_falls_back(self):
+        ref = _deployed_resnet18()
+        xb = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+        expected = ref(xb)
+        dep = _deployed_resnet18()
+        fuse_stages(dep, interpret=True)  # cap is 1; B=2 must fall back
+        np.testing.assert_array_equal(dep(xb), expected)
