@@ -230,3 +230,151 @@ def fused_stem_reference(x, w, bias=None, *, out_dtype=None) -> jax.Array:
         y = y + bias.astype(jnp.float32)
     y = jnp.maximum(y, 0.0)
     return F.max_pool(y, 3, 2, 1).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# v2: H-oct lane merge + row-phase decomposition (B=1)
+
+
+def _phase_selectors(o: int):
+    """Per-phase tap-selection matrices S_a (K_a, 256).
+
+    Phase ``a = conv_row % 4``. The s2d input is lane-merged by raw-row
+    OCTS (8 raw rows = 4 s2d rows -> lane order (qi, dj, c), 64 lanes), so
+    one slab per (oct offset, dx) carries FOUR s2d rows. A conv row r=4p+a
+    reads s2d rows r-2..r+1, which span the oct offsets ``_DELTAS[a]``;
+    lane (qi, dj, c) of oct p+d is s2d row 4(p+d)+qi//2, i.e. tap
+    ``dy = 4d + qi//2 - a + 2`` (zero weight when outside 0..3).
+    ``W_a = S_a @ w2d`` with ``w2d`` the (256, O) s2d kernel of
+    :func:`transform_stem_kernel` (row order (ki, kj, di, dj, c)).
+    """
+    import numpy as np
+
+    sels = []
+    for a in range(4):
+        deltas = _DELTAS[a]
+        k_a = len(deltas) * 4 * 64
+        s = np.zeros((k_a, 256), np.float32)
+        for di_idx, d in enumerate(deltas):
+            for dx in range(4):
+                for qi in range(8):
+                    dy = 4 * d + qi // 2 - a + 2
+                    if not 0 <= dy < 4:
+                        continue
+                    for dj in range(2):
+                        for c in range(4):
+                            row = (di_idx * 4 + dx) * 64 + qi * 8 + dj * 4 + c
+                            src = (dy * 4 + dx) * 16 + (qi % 2) * 8 + dj * 4 + c
+                            s[row, src] = 1.0
+        sels.append(s)
+    return sels
+
+
+_DELTAS = {0: (-1, 0), 1: (-1, 0), 2: (0,), 3: (0, 1)}
+_SELS_CACHE = {}
+
+
+def _stem_v2_kernel(x_ref, w0_ref, w1_ref, w2_ref, w3_ref, b_ref, out_ref):
+    v = x_ref[...]  # (1, H, W/2, 8) bf16, W-pairs on lanes
+    _, h, wm, c8 = v.shape
+    no = h // 8          # octs
+    ncr = h // 2         # conv rows (112)
+    p_rows = ncr // 4    # rows per phase (28)
+    o = out_ref.shape[-1]
+
+    # H-oct merge: raw rows 8G..8G+7 -> lanes (qi, dj, c)
+    vp = v.reshape(no, 8, wm, c8)
+    s8 = jnp.concatenate([vp[:, i] for i in range(8)], axis=-1)  # (no,wm,64)
+    # conv W padding (2, 1) in s2d cols == lane-group cols
+    s8 = jnp.pad(s8, ((1, 1), (0, 0), (0, 0)))      # zero octs top/bottom
+    s8 = jnp.pad(s8, ((0, 0), (2, 1), (0, 0)))      # W pad
+
+    w_refs = (w0_ref, w1_ref, w2_ref, w3_ref)
+    ys = []
+    m = p_rows * wm
+    for a in range(4):
+        slabs = [
+            s8[1 + d: 1 + d + p_rows, dx: dx + wm, :].reshape(m, 64)
+            for d in _DELTAS[a] for dx in range(4)
+        ]
+        patches = jnp.concatenate(slabs, axis=-1) if len(slabs) > 1 else slabs[0]
+        acc = lax.dot_general(patches, w_refs[a][...],
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        y = jnp.maximum(acc + b_ref[...], 0.0).reshape(p_rows, wm, o)
+        ys.append(y)
+
+    # maxpool W (3/s2/p1) inside each row phase: pooled col t = max of conv
+    # cols 2t-1, 2t, 2t+1 via the E/F phase trick
+    wp = wm // 2
+    pooled_w = []
+    for y in ys:
+        yp = jnp.concatenate(
+            [jnp.full((p_rows, 1, o), _NEG, y.dtype), y,
+             jnp.full((p_rows, 1, o), _NEG, y.dtype)], axis=1)
+        ef = yp.reshape(p_rows, wp + 1, 2, o)
+        e, f = ef[:, :, 0], ef[:, :, 1]
+        pooled_w.append(jnp.maximum(jnp.maximum(e[:, :wp], f[:, :wp]),
+                                    e[:, 1:]))
+    a0, a1, a2, a3 = pooled_w
+
+    # maxpool H across row phases: pooled row s needs conv rows 2s-1..2s+1.
+    # s = 2u:   rows 4u-1 (a3, p=u-1), 4u (a0), 4u+1 (a1)
+    # s = 2u+1: rows 4u+1 (a1), 4u+2 (a2), 4u+3 (a3)
+    a3_up = jnp.concatenate(
+        [jnp.full((1, wp, o), _NEG, a3.dtype), a3[:-1]], axis=0)
+    p_even = jnp.maximum(jnp.maximum(a3_up, a0), a1)
+    p_odd = jnp.maximum(jnp.maximum(a1, a2), a3)
+    out = jnp.concatenate([p_even[:, None], p_odd[:, None]], axis=1)
+    out_ref[...] = out.reshape(1, 2 * p_rows, wp, o).astype(out_ref.dtype)
+
+
+def fused_stem_v2(
+    x: jax.Array,
+    w: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """B=1 stem megakernel, phase-decomposed (see :func:`fused_stem`).
+
+    Same math as v1 but the H-pair lane merge becomes an H-OCT merge
+    (64-lane slabs instead of 16-lane), splitting conv rows into 4
+    ``r % 4`` phases whose taps align with oct boundaries. Slab assembly —
+    v1's dominant cost (VPU copy time scales with slab ROWS touched, not
+    lanes used, so 16-lane slabs waste 7/8 of each vreg) — drops from
+    16 row-passes to 7, and the maxpool runs entirely in phase space.
+    Measured v5e B=1: see module docstring. Scope: batch 1 (grid-free
+    whole-image kernel), H % 16 == 0, W % 4 == 0.
+    """
+    n, h, ws, c = x.shape
+    assert n == 1, "fused_stem_v2 is a B=1 kernel (use fused_stem beyond)"
+    assert c <= 4 and h % 16 == 0 and ws % 4 == 0, x.shape
+    o = w.shape[-1]
+    hp, wp = h // 4, ws // 4
+    out_dtype = x.dtype if out_dtype is None else out_dtype
+
+    x4 = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 4 - c))) if c < 4 else x
+    xwr = x4.reshape(n, h, ws // 2, 8)
+
+    w2d = transform_stem_kernel(w).reshape(256, o).astype(x.dtype)
+    key = o
+    if key not in _SELS_CACHE:
+        _SELS_CACHE[key] = _phase_selectors(o)
+    was = [jnp.asarray(s, x.dtype) @ w2d for s in _SELS_CACHE[key]]
+    bf = (jnp.zeros((o,), jnp.float32) if bias is None
+          else bias.astype(jnp.float32)).reshape(1, o)
+
+    return pl.pallas_call(
+        _stem_v2_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, hp, wp, o), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (h // 2) * (ws // 2) * (512 * 3 + 256) // 4 * o // 64,
+            bytes_accessed=h * ws * 4 * x.dtype.itemsize + hp * wp * o * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xwr, *was, bf)

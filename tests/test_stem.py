@@ -6,6 +6,7 @@ import pytest
 from flax import nnx
 
 from bnn_tpu import models, nn
+from bnn_tpu import functional as F
 from bnn_tpu.inference.stem import (
     SpaceToDepthConv,
     space_to_depth_stem,
@@ -172,3 +173,38 @@ class TestFuseStemPass:
         m = self._model()
         assert fuse_stem(m, interpret=True) == 1
         assert fuse_stem(m, interpret=True) == 0
+
+
+class TestFusedStemV2:
+    """Phase-decomposed B=1 stem kernel (kernels/stem.py fused_stem_v2)."""
+
+    def test_matches_reference(self):
+        from bnn_tpu.kernels.stem import fused_stem_reference, fused_stem_v2
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+        w = jnp.asarray(rng.randn(7, 7, 3, 64) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+        got = fused_stem_v2(x, w, b, interpret=True)
+        ref = fused_stem_reference(x, w, b)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def test_fused_stem_module_dispatches_v2_at_b1(self):
+        """FusedStem must run v2 at B=1 (H % 16) and stay exact."""
+        from bnn_tpu import models
+        from bnn_tpu.inference import fuse_stem
+        from bnn_tpu.inference.stem import FusedStem
+
+        rng = np.random.RandomState(4)
+        m = models.resnet18(num_classes=10, rngs=nnx.Rngs(0))
+        m.eval()
+        x1 = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+        ref = F.max_pool(jnp.maximum(m.bn1(m.conv1(x1)), 0), 3, 2, 1)
+        assert fuse_stem(m, interpret=True) == 1
+        assert isinstance(m.conv1, FusedStem)
+        np.testing.assert_allclose(m.conv1(x1), ref, rtol=1e-4, atol=1e-4)
+        # B=2 takes the v1 grid kernel; B=9 the unfused fallback — both exact
+        x2 = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+        ref2 = F.max_pool(jnp.maximum(m.bn1(
+            m.conv1._inner()(x2)), 0), 3, 2, 1)
+        np.testing.assert_allclose(m.conv1(x2), ref2, rtol=1e-4, atol=1e-4)
