@@ -83,7 +83,16 @@ def _down_params(block) -> BlockParams:
 
 
 class FusedStage(nnx.Module):
-    """One-kernel execution of a whole deployed ResNet stage at B=1."""
+    """One-kernel execution of a whole deployed ResNet stage at B=1.
+
+    The kernel-layout parameter arrays (tap-reordered weights, stacked
+    epilogue rows) are PRECOMPUTED here and stored as Variables — building
+    them per call would put ~15 XLA glue ops (including _transform_w1's
+    6-D transpose) between the stage kernels on every forward. The
+    original Sequential is kept (same underlying deployed arrays) for the
+    large-batch fallback; note the precomputed copies are snapshots — re-
+    deploy after mutating the underlying deployed layers.
+    """
 
     def __init__(self, stage, *, kind: str, pre: bool = False,
                  max_fused_batch: int = 1, interpret: bool = False):
@@ -93,22 +102,36 @@ class FusedStage(nnx.Module):
         self.pre = pre
         self.max_fused_batch = max_fused_batch
         self.interpret = interpret
+        b0, b1 = stage[0], stage[1]
+        bp0 = _down_params(b0) if kind == "down" else _basic_params(b0)
+        bp1 = _basic_params(b1)
+        self._p0 = nnx.data([nnx.Variable(a) for a in bp0.arrays()])
+        self._p1 = nnx.data([nnx.Variable(a) for a in bp1.arrays()])
+        self._meta0 = (bp0.kind, bp0.ci, bp0.co)
+        self._meta1 = (bp1.kind, bp1.ci, bp1.co)
+
+    def _params(self):
+        return (BlockParams.from_arrays(self._meta0,
+                                        [v[...] for v in self._p0]),
+                BlockParams.from_arrays(self._meta1,
+                                        [v[...] for v in self._p1]))
 
     def __call__(self, x):
-        b0, b1 = self.stage[0], self.stage[1]
+        b0 = self.stage[0]
         n, h, w, _ = x.shape
         if n > self.max_fused_batch or h % 2 or w % 2:
             return self.stage(x)
         a1, _ = _act_kind(b0.act1)
         a2, _ = _act_kind(b0.act2)
         z21 = getattr(b0.conv1, "zero_to_one", False)
+        bp0, bp1 = self._params()
         if self.kind == "pair":
             return fused_pair(
-                x, [_basic_params(b0), _basic_params(b1)],
+                x, [bp0, bp1],
                 act=(a1, a2), pre=self.pre, zero_to_one=z21,
                 out_dtype=x.dtype, interpret=self.interpret)
         return fused_down_stage(
-            x, [_down_params(b0), _basic_params(b1)],
+            x, [bp0, bp1],
             act=(a1, a2), pre=self.pre, zero_to_one=z21,
             out_dtype=x.dtype, interpret=self.interpret)
 

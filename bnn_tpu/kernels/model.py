@@ -193,6 +193,25 @@ class BlockParams:
             self.pi = jnp.stack([jnp.tile(t1, 4), jnp.tile(td, 4)])
         self.ci, self.co = ci, co
 
+    def arrays(self):
+        """Kernel-layout arrays in a fixed order (for caching/transfer)."""
+        if self.kind == "basic":
+            return [self.w1, self.w2, self.prm]
+        return [self.w1, self.w2, self.wd, self.po, self.pi]
+
+    @classmethod
+    def from_arrays(cls, meta, arrays) -> "BlockParams":
+        """Rebuild from ``(kind, ci, co)`` + :meth:`arrays` output without
+        re-running the layout transforms."""
+        kind, ci, co = meta
+        bp = cls.__new__(cls)
+        bp.kind, bp.ci, bp.co = kind, ci, co
+        if kind == "basic":
+            bp.w1, bp.w2, bp.prm = arrays
+        else:
+            bp.w1, bp.w2, bp.wd, bp.po, bp.pi = arrays
+        return bp
+
 
 _VM = pl.BlockSpec(memory_space=pltpu.VMEM)
 
