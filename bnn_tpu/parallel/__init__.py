@@ -15,6 +15,7 @@ from .pipeline import (
     shard_stacked_state,
     pipeline_apply,
 )
+from .hetero_pipeline import HeteroPipeline
 
 __all__ = [
     "make_mesh",
@@ -27,6 +28,7 @@ __all__ = [
     "make_train_step",
     "make_eval_step",
     "make_pipeline_mesh",
+    "HeteroPipeline",
     "stack_stage_states",
     "make_stage_fn",
     "shard_stacked_state",
