@@ -31,7 +31,7 @@ from __future__ import annotations
 from flax import nnx
 
 from ..binarize import named_modules, set_module_by_name
-from ..kernels.model import BlockParams, fused_down_stage, fused_pair
+from ..kernels.model import BlockParams, fused_chain
 from ..models.layers import BasicBlock, PreBasicBlock
 from .. import nn
 from .megablock import (
@@ -102,19 +102,15 @@ class FusedStage(nnx.Module):
         self.pre = pre
         self.max_fused_batch = max_fused_batch
         self.interpret = interpret
-        b0, b1 = stage[0], stage[1]
-        bp0 = _down_params(b0) if kind == "down" else _basic_params(b0)
-        bp1 = _basic_params(b1)
-        self._p0 = nnx.data([nnx.Variable(a) for a in bp0.arrays()])
-        self._p1 = nnx.data([nnx.Variable(a) for a in bp1.arrays()])
-        self._meta0 = (bp0.kind, bp0.ci, bp0.co)
-        self._meta1 = (bp1.kind, bp1.ci, bp1.co)
+        bps = [(_down_params if kind == "down" and i == 0 else
+                _basic_params)(b) for i, b in enumerate(stage)]
+        self._params_v = nnx.data([
+            [nnx.Variable(a) for a in bp.arrays()] for bp in bps])
+        self._metas = [(bp.kind, bp.ci, bp.co) for bp in bps]
 
     def _params(self):
-        return (BlockParams.from_arrays(self._meta0,
-                                        [v[...] for v in self._p0]),
-                BlockParams.from_arrays(self._meta1,
-                                        [v[...] for v in self._p1]))
+        return [BlockParams.from_arrays(meta, [v[...] for v in vs])
+                for meta, vs in zip(self._metas, self._params_v)]
 
     def __call__(self, x):
         b0 = self.stage[0]
@@ -124,34 +120,53 @@ class FusedStage(nnx.Module):
         a1, _ = _act_kind(b0.act1)
         a2, _ = _act_kind(b0.act2)
         z21 = getattr(b0.conv1, "zero_to_one", False)
-        bp0, bp1 = self._params()
-        if self.kind == "pair":
-            return fused_pair(
-                x, [bp0, bp1],
-                act=(a1, a2), pre=self.pre, zero_to_one=z21,
-                out_dtype=x.dtype, interpret=self.interpret)
-        return fused_down_stage(
-            x, [bp0, bp1],
+        return fused_chain(
+            x, self._params(),
             act=(a1, a2), pre=self.pre, zero_to_one=z21,
             out_dtype=x.dtype, interpret=self.interpret)
 
 
+# all of a stage's weights must be VMEM-resident alongside its activations
+# and patch buffers for the whole kernel (~16 MB/core). ResNet-18's layer4
+# (8.4 MB + 7^2 activations) compiles and runs; a ResNet-34 layer4
+# (~13 MB) does not fit and stays on the per-block path.
+_MAX_STAGE_WEIGHT_BYTES = 10 << 20
+
+
+def _stage_weight_bytes(seq) -> int:
+    total = 0
+    for b in seq:
+        for conv in ([b.conv1, b.conv2]
+                     + ([b.downsample[1]] if b.downsample is not None else [])):
+            total += 9 * conv.in_channels * conv.out_channels  # int8 upper bd
+    return total
+
+
 def _stage_eligible(seq) -> str:
-    """'' | 'pair' | 'down' (+ 'pre-' prefix) for a candidate Sequential."""
-    if not isinstance(seq, nn.Sequential) or len(seq) != 2:
+    """'' | 'pair' | 'down' (+ 'pre-' prefix) for a candidate Sequential.
+
+    A stage is a leading (optionally downsample) block followed by any
+    number of stride-1 blocks — ResNet-18's pairs and ResNet-34's 3-6
+    block stages alike.
+    """
+    if not isinstance(seq, nn.Sequential) or len(seq) < 2:
         return ""
-    b0, b1 = seq[0], seq[1]
-    if not (isinstance(b0, (BasicBlock, PreBasicBlock))
-            and isinstance(b1, (BasicBlock, PreBasicBlock))
-            and type(b0) is type(b1)):
+    blocks = list(seq)
+    if not all(isinstance(b, (BasicBlock, PreBasicBlock)) for b in blocks):
         return ""
-    pre = isinstance(b0, PreBasicBlock)
-    ok1 = _eligible_pre(b1) if isinstance(b1, PreBasicBlock) else _eligible(b1)
-    if not ok1:
+    if len({type(b) for b in blocks}) != 1:
         return ""
+    pre = isinstance(blocks[0], PreBasicBlock)
+    for b in blocks[1:]:
+        if b.downsample is not None:
+            return ""
+        if not (_eligible_pre(b) if pre else _eligible(b)):
+            return ""
+    if _stage_weight_bytes(seq) > _MAX_STAGE_WEIGHT_BYTES:
+        return ""
+    b0 = blocks[0]
     if b0.downsample is None:
-        ok0 = (_eligible_pre(b0) if isinstance(b0, PreBasicBlock)
-               else _eligible(b0))
+        ok0 = _eligible_pre(b0) if pre else _eligible(b0)
         return ("pre-pair" if pre else "pair") if ok0 else ""
     if _eligible_down(b0):
         return "pre-down" if pre else "down"

@@ -46,8 +46,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .block import _apply_act
 from .strided_block import _transform_w1
 
-__all__ = ["BlockParams", "fused_pair", "fused_down_stage",
-           "fused_pair_reference", "fused_down_stage_reference"]
+__all__ = ["BlockParams", "fused_chain", "fused_pair", "fused_down_stage",
+           "fused_pair_reference", "fused_down_stage_reference",
+           "fused_chain_reference"]
 
 _ACTS = ("relu", "prelu", "identity")
 
@@ -216,71 +217,33 @@ class BlockParams:
 _VM = pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
-def _pair_kernel(x_ref, w0a, w0b, p0, w1a, w1b, p1, out_ref, *,
-                 acts, pre, z21):
-    a = x_ref[...].reshape(x_ref.shape[1:]).astype(jnp.float32)
-    a = _basic_body(a, w0a[...], w0b[...], p0[...],
-                    act1=acts[0], act2=acts[1], pre=pre, z21=z21)
-    a = _basic_body(a, w1a[...], w1b[...], p1[...],
-                    act1=acts[0], act2=acts[1], pre=pre, z21=z21)
-    out_ref[...] = a[None].astype(out_ref.dtype)
+def _chain_kernel(*refs, plan, acts, pre, z21, ci, with_head):
+    """Run a block chain (plan of 'basic'/'down') + optional pool/fc head.
 
-
-def fused_pair(
-    x: jax.Array,
-    blocks: Sequence[BlockParams],
-    *,
-    act: str = "relu",
-    pre: bool = False,
-    zero_to_one: bool = True,
-    out_dtype=None,
-    interpret: bool = False,
-) -> jax.Array:
-    """Two stride-1 blocks (a whole ResNet-18 layer1) in ONE kernel.
-
-    ``x``: ``(1, H, W, C)``; ``blocks``: [basic, basic].
+    ``refs``: x, then per-block param refs in plan order (3 per basic,
+    5 per down), then (wfc, bfc) if ``with_head``, then the output ref.
     """
-    b0, b1 = blocks
-    assert (b0.kind, b1.kind) == ("basic", "basic")
-    n, h, w, c = x.shape
-    assert n == 1, "stage megakernels are B=1 serving kernels"
-    act1, act2 = (act, act) if isinstance(act, str) else act
-    assert act1 in _ACTS and act2 in _ACTS
-    out_dtype = x.dtype if out_dtype is None else out_dtype
-
-    args = [x, b0.w1, b0.w2, b0.prm, b1.w1, b1.w2, b1.prm]
-    return pl.pallas_call(
-        functools.partial(_pair_kernel, acts=(act1, act2), pre=pre,
-                          z21=zero_to_one),
-        in_specs=[_VM] * len(args),
-        out_specs=_VM,
-        out_shape=jax.ShapeDtypeStruct((1, h, w, c), out_dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * 2 * h * w * c * c * 9,
-            bytes_accessed=2 * h * w * c * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(*args)
-
-
-def _down_stage_kernel(x_ref, wd1, wd2, wdd, pdo, pdi, w1a, w1b, p1,
-                       out_ref, *, acts, pre, z21, ci):
+    x_ref, refs = refs[0], list(refs[1:])
+    out_ref = refs.pop()
     a = x_ref[...].reshape(x_ref.shape[1:]).astype(jnp.float32)
-    a = _down_body(a, wd1[...], wd2[...], wdd[...], pdo[...], pdi[...],
-                   act1=acts[0], act2=acts[1], pre=pre, z21=z21, ci=ci)
-    a = _basic_body(a, w1a[...], w1b[...], p1[...],
-                    act1=acts[0], act2=acts[1], pre=pre, z21=z21)
-    out_ref[...] = a[None].astype(out_ref.dtype)
-
-
-def _down_stage_head_kernel(x_ref, wd1, wd2, wdd, pdo, pdi, w1a, w1b, p1,
-                            wfc, bfc, out_ref, *, acts, pre, z21, ci):
-    a = x_ref[...].reshape(x_ref.shape[1:]).astype(jnp.float32)
-    a = _down_body(a, wd1[...], wd2[...], wdd[...], pdo[...], pdi[...],
-                   act1=acts[0], act2=acts[1], pre=pre, z21=z21, ci=ci)
-    a = _basic_body(a, w1a[...], w1b[...], p1[...],
-                    act1=acts[0], act2=acts[1], pre=pre, z21=z21)
+    cin = ci
+    for kind in plan:
+        if kind == "basic":
+            w1, w2, prm = refs[:3]
+            refs = refs[3:]
+            a = _basic_body(a, w1[...], w2[...], prm[...],
+                            act1=acts[0], act2=acts[1], pre=pre, z21=z21)
+        else:
+            w1, w2, wd, po, pi = refs[:5]
+            refs = refs[5:]
+            a = _down_body(a, w1[...], w2[...], wd[...], po[...], pi[...],
+                           act1=acts[0], act2=acts[1], pre=pre, z21=z21,
+                           ci=cin)
+            cin = wd.shape[-1]
+    if not with_head:
+        out_ref[...] = a[None].astype(out_ref.dtype)
+        return
+    wfc, bfc = refs
     h, w, c = a.shape
     pooled = jnp.mean(a.reshape(h * w, c), axis=0, keepdims=True)  # (1, C)
     logits = lax.dot_general(pooled, wfc[...].astype(jnp.float32),
@@ -289,7 +252,7 @@ def _down_stage_head_kernel(x_ref, wd1, wd2, wdd, pdo, pdi, w1a, w1b, p1,
     out_ref[...] = (logits + bfc[...]).astype(out_ref.dtype)
 
 
-def fused_down_stage(
+def fused_chain(
     x: jax.Array,
     blocks: Sequence[BlockParams],
     wfc: Optional[jax.Array] = None,
@@ -301,59 +264,73 @@ def fused_down_stage(
     out_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
-    """A stride-2 stage (down block + stride-1 block) in ONE kernel.
+    """A whole residual stage — any chain of [down?] + basic* blocks — in
+    ONE kernel; optionally with the global avgpool + float fc head.
 
-    ``x``: ``(1, H, W, C)`` raw stage input (H, W even) — W-pair merged
-    internally via a free XLA reshape before the kernel. ``blocks``:
-    [down, basic]. With ``wfc`` (``(Co, classes)`` float head) the global
-    avgpool + fc run inside the kernel too and the result is ``(1,
-    classes)`` logits; otherwise ``(1, H/2, W/2, Co)``.
+    ``x``: ``(1, H, W, C)`` raw stage input. A leading 'down' block W-pair
+    merges the input via a free XLA reshape outside the kernel (a 'down'
+    elsewhere in the chain would need the Mosaic-rejected in-kernel
+    W-merge — only position 0 is supported). ``wfc``: ``(Cout, classes)``
+    float head; the result is then ``(1, classes)`` logits.
     """
-    b0, b1 = blocks
-    assert (b0.kind, b1.kind) == ("down", "basic")
+    plan = tuple(b.kind for b in blocks)
+    assert all(k == "basic" for k in plan[1:]), (
+        "only a LEADING down block is supported (in-kernel W-merge is not)")
     n, h, w, ci = x.shape
     assert n == 1, "stage megakernels are B=1 serving kernels"
-    assert h % 2 == 0 and w % 2 == 0, (h, w)
     act1, act2 = (act, act) if isinstance(act, str) else act
     assert act1 in _ACTS and act2 in _ACTS
-    co = b0.co
 
-    xw = x.reshape(1, h, w // 2, 2 * ci)  # W-pair merge (outside; free)
-    args = [xw, b0.w1, b0.w2, b0.wd, b0.po, b0.pi, b1.w1, b1.w2, b1.prm]
-    stage_flops = (2 * 2 * (h // 2) * (w // 2) * co
-                   * (9 * ci + 9 * co + ci + 2 * 9 * co))
-    if wfc is None:
+    args = [x]
+    if plan[0] == "down":
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
+        args = [x.reshape(1, h, w // 2, 2 * ci)]  # W-pair merge (free)
+        oh, ow = h // 2, w // 2
+    else:
+        oh, ow = h, w
+    co = blocks[-1].co
+    flops = 0
+    for b in blocks:
+        args += b.arrays()
+        flops += 2 * 2 * oh * ow * b.co * (9 * b.ci * (4 if b.kind == "down"
+                                                       else 1) + b.ci)
+    with_head = wfc is not None
+    if with_head:
+        classes = wfc.shape[-1]
+        bfc = (jnp.zeros((classes,), jnp.float32) if bfc is None
+               else bfc).astype(jnp.float32).reshape(1, classes)
+        args += [wfc, bfc]
+        out_shape = (1, classes)
+        out_dtype = jnp.float32 if out_dtype is None else out_dtype
+    else:
+        out_shape = (1, oh, ow, co)
         out_dtype = x.dtype if out_dtype is None else out_dtype
-        return pl.pallas_call(
-            functools.partial(_down_stage_kernel, acts=(act1, act2),
-                              pre=pre, z21=zero_to_one, ci=ci),
-            in_specs=[_VM] * len(args),
-            out_specs=_VM,
-            out_shape=jax.ShapeDtypeStruct((1, h // 2, w // 2, co),
-                                           out_dtype),
-            cost_estimate=pl.CostEstimate(
-                flops=stage_flops, bytes_accessed=h * w * ci * 4,
-                transcendentals=0),
-            interpret=interpret,
-        )(*args)
 
-    classes = wfc.shape[-1]
-    out_dtype = jnp.float32 if out_dtype is None else out_dtype
-    bfc = (jnp.zeros((classes,), jnp.float32) if bfc is None
-           else bfc).astype(jnp.float32).reshape(1, classes)
-    args += [wfc, bfc]
     return pl.pallas_call(
-        functools.partial(_down_stage_head_kernel, acts=(act1, act2),
-                          pre=pre, z21=zero_to_one, ci=ci),
+        functools.partial(_chain_kernel, plan=plan, acts=(act1, act2),
+                          pre=pre, z21=zero_to_one, ci=ci,
+                          with_head=with_head),
         in_specs=[_VM] * len(args),
         out_specs=_VM,
-        out_shape=jax.ShapeDtypeStruct((1, classes), out_dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=stage_flops + 2 * co * classes,
-            bytes_accessed=h * w * ci * 4 + wfc.size * wfc.dtype.itemsize,
-            transcendentals=0),
+            flops=flops, bytes_accessed=h * w * ci * 4, transcendentals=0),
         interpret=interpret,
     )(*args)
+
+
+def fused_pair(x, blocks, **kw):
+    """Two+ stride-1 blocks (a whole layer1) in ONE kernel — see
+    :func:`fused_chain`."""
+    assert all(b.kind == "basic" for b in blocks)
+    return fused_chain(x, blocks, **kw)
+
+
+def fused_down_stage(x, blocks, wfc=None, bfc=None, **kw):
+    """A stride-2 stage (down + stride-1 blocks) in ONE kernel — see
+    :func:`fused_chain`."""
+    assert blocks[0].kind == "down"
+    return fused_chain(x, blocks, wfc, bfc, **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -399,12 +376,13 @@ def fused_pair_reference(x, blocks, *, act="relu", pre=False,
     return a.astype(out_dtype)
 
 
-def fused_down_stage_reference(x, blocks, wfc=None, bfc=None, *, act="relu",
-                               pre=False, zero_to_one=True, out_dtype=None):
-    """Pure-jnp oracle for :func:`fused_down_stage` (CPU-runnable)."""
-    b0, b1 = blocks
-    a = _down_ref(x.astype(jnp.float32), b0, act, pre, zero_to_one)
-    a = _basic_ref(a, b1, act, pre, zero_to_one)
+def fused_chain_reference(x, blocks, wfc=None, bfc=None, *, act="relu",
+                          pre=False, zero_to_one=True, out_dtype=None):
+    """Pure-jnp oracle for :func:`fused_chain` (CPU-runnable)."""
+    a = x.astype(jnp.float32)
+    for b in blocks:
+        ref = _down_ref if b.kind == "down" else _basic_ref
+        a = ref(a, b, act, pre, zero_to_one)
     if wfc is None:
         return a.astype(x.dtype if out_dtype is None else out_dtype)
     pooled = jnp.mean(a, axis=(1, 2))
@@ -412,3 +390,6 @@ def fused_down_stage_reference(x, blocks, wfc=None, bfc=None, *, act="relu",
     if bfc is not None:
         logits = logits + bfc.astype(jnp.float32).reshape(1, -1)
     return logits.astype(jnp.float32 if out_dtype is None else out_dtype)
+
+
+fused_down_stage_reference = fused_chain_reference

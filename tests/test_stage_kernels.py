@@ -137,3 +137,43 @@ class TestFuseStagesPass:
         dep = _deployed_resnet18()
         fuse_stages(dep, interpret=True)  # cap is 1; B=2 must fall back
         np.testing.assert_array_equal(dep(xb), expected)
+
+
+class TestChainGenerality:
+    """fused_chain beyond pairs: ResNet-34-style 3+-block stages."""
+
+    def test_three_block_chain(self):
+        from bnn_tpu.kernels.model import fused_chain, fused_chain_reference
+
+        c = 8
+        x = rf(1, 16, 16, c)
+        blocks = [mk_down(c), mk_basic(2 * c), mk_basic(2 * c)]
+        got = fused_chain(x, blocks, interpret=True)
+        ref = fused_chain_reference(x, blocks)
+        np.testing.assert_allclose(got.astype(jnp.float32), ref,
+                                   rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.slow
+    def test_resnet34_layer1_fuses(self):
+        """ResNet-34's 3-block layer1 fuses as one stage; its 13MB layer4
+        stays on the per-block path (VMEM budget)."""
+        x = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
+
+        def build():
+            mm = models.resnet34(num_classes=10, rngs=nnx.Rngs(0))
+            mm = prepare_binary_model(
+                mm, bconfig=BC, ignore_layers_name=["_first_", "_last_"])
+            mm.eval()
+            mm = deploy(mm, use_pallas=False)
+            optimize_deployed(mm)
+            return mm
+
+        refm = build()
+        expected = refm(x)
+        dep = build()
+        n = fuse_stages(dep, interpret=True)
+        assert n >= 1
+        assert isinstance(dep.layer1, FusedStage)
+        assert len(dep.layer1.stage) == 3
+        assert not isinstance(dep.layer4, FusedStage)  # over budget
+        np.testing.assert_array_equal(dep(x), expected)
