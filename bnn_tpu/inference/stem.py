@@ -32,7 +32,7 @@ from flax import nnx
 from .. import functional as F
 from .. import nn
 from ..binarize import named_modules, set_module_by_name
-from ..kernels.stem import fused_stem, fused_stem_v2
+from ..kernels.stem import fused_stem, fused_stem_v2, fused_stem_v3
 
 __all__ = ["SpaceToDepthConv", "space_to_depth_stem", "FusedStem",
            "fuse_stem"]
@@ -183,9 +183,13 @@ class FusedStem(nnx.Module):
             return F.max_pool(y, 3, 2, 1)
         inner = self._inner()
         bias = inner.bias[...] if inner.bias is not None else None
+        # phase-decomposed variants at B=1 (the stem is half the whole-model
+        # latency there): v3 (H-oct x W-quad) measured ~19 us, v2 (H-oct)
+        # ~24 us, v1 grid kernel 30.5 us, unfused XLA ~120 us (224^2, v5e)
+        if n == 1 and h % 16 == 0 and w % 8 == 0:
+            return fused_stem_v3(x, inner.kernel[...], bias,
+                                 interpret=self.interpret)
         if n == 1 and h % 16 == 0:
-            # phase-decomposed variant: measured 30.5 -> 24 us at B=1 224^2
-            # on v5e (the stem is half the whole-model latency there)
             return fused_stem_v2(x, inner.kernel[...], bias,
                                  interpret=self.interpret)
         return fused_stem(x, inner.kernel[...], bias,

@@ -378,3 +378,150 @@ def fused_stem_v2(
         ),
         interpret=interpret,
     )(xwr, *was, bf)
+
+
+# ---------------------------------------------------------------------------
+# v3: H-oct x W-quad lane merge, 8 (row, col) phases (B=1)
+
+_DELTAS_W = {0: (-1, 0), 1: (-1, 0, 1)}
+
+
+def _phase_selectors_v3():
+    """Tap selectors S_(a,b) ((len(DH)*len(DW))*128, 256) for v3.
+
+    Lanes hold (qi, wq, c) — raw-row-in-oct, raw-col-in-quad, channel. A
+    conv position (r=4p+a, j=2q+b) reads oct offsets DH[a] and W-quad
+    offsets DW[b]; lane (qi, wq, c) of (oct p+dh, quad q+dw) is tap
+    ``dy = 4dh + qi//2 - a + 2``, ``dx = 2dw + wq//2 - b + 2`` (zero
+    weight outside 0..3).
+    """
+    import numpy as np
+
+    sels = {}
+    for a in range(4):
+        for b in range(2):
+            dhs, dws = _DELTAS[a], _DELTAS_W[b]
+            k = len(dhs) * len(dws) * 128
+            s = np.zeros((k, 256), np.float32)
+            for hi, dh in enumerate(dhs):
+                for wi, dw in enumerate(dws):
+                    base = (hi * len(dws) + wi) * 128
+                    for qi in range(8):
+                        dy = 4 * dh + qi // 2 - a + 2
+                        if not 0 <= dy < 4:
+                            continue
+                        for wq in range(4):
+                            dx = 2 * dw + wq // 2 - b + 2
+                            if not 0 <= dx < 4:
+                                continue
+                            for c in range(4):
+                                row = base + qi * 16 + wq * 4 + c
+                                src = ((dy * 4 + dx) * 16
+                                       + (qi % 2) * 8 + (wq % 2) * 4 + c)
+                                s[row, src] = 1.0
+            sels[(a, b)] = s
+    return sels
+
+
+_SELS_V3_CACHE = {}
+
+
+def _stem_v3_kernel(x_ref, *refs):
+    w_refs, b_ref, out_ref = refs[:8], refs[8], refs[9]
+    v = x_ref[...]  # (1, H, W/4, 16) bf16: W-quads on lanes (wq, c)
+    _, h, wq_n, c16 = v.shape
+    no = h // 8
+    p_rows = h // 8 // 1  # octs
+    ncr = h // 2
+    pr = ncr // 4          # rows per phase
+    pc = ncr // 2          # cols per phase (56)
+    o = out_ref.shape[-1]
+
+    # H-oct merge: raw rows 8G..8G+7 -> lanes (qi, wq, c)
+    vp = v.reshape(no, 8, wq_n, c16)
+    s8 = jnp.concatenate([vp[:, i] for i in range(8)], axis=-1)  # (no,wq_n,128)
+    s8 = jnp.pad(s8, ((1, 1), (1, 1), (0, 0)))  # zero octs / zero quads
+
+    ys = {}
+    m = pr * pc
+    for a in range(4):
+        for b in range(2):
+            dhs, dws = _DELTAS[a], _DELTAS_W[b]
+            slabs = [
+                s8[1 + dh: 1 + dh + pr, 1 + dw: 1 + dw + pc, :].reshape(m, 128)
+                for dh in dhs for dw in dws
+            ]
+            patches = (jnp.concatenate(slabs, axis=-1)
+                       if len(slabs) > 1 else slabs[0])
+            acc = lax.dot_general(patches, w_refs[a * 2 + b][...],
+                                  dimension_numbers=(((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+            ys[(a, b)] = jnp.maximum(acc + b_ref[...], 0.0).reshape(pr, pc, o)
+
+    # maxpool W across col phases: pooled col t = max(conv 2t-1, 2t, 2t+1)
+    #   = max(b1[t-1], b0[t], b1[t]); pad b1 left with -inf
+    rms = []
+    for a in range(4):
+        b0, b1 = ys[(a, 0)], ys[(a, 1)]
+        b1s = jnp.concatenate(
+            [jnp.full((pr, 1, o), _NEG, b1.dtype), b1[:, :-1]], axis=1)
+        rms.append(jnp.maximum(jnp.maximum(b1s, b0), b1))
+    a0, a1, a2, a3 = rms
+
+    # maxpool H across row phases (as v2)
+    a3_up = jnp.concatenate(
+        [jnp.full((1, pc, o), _NEG, a3.dtype), a3[:-1]], axis=0)
+    p_even = jnp.maximum(jnp.maximum(a3_up, a0), a1)
+    p_odd = jnp.maximum(jnp.maximum(a1, a2), a3)
+    out = jnp.concatenate([p_even[:, None], p_odd[:, None]], axis=1)
+    out_ref[...] = out.reshape(1, 2 * pr, pc, o).astype(out_ref.dtype)
+
+
+def fused_stem_v3(
+    x: jax.Array,
+    w: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """B=1 stem megakernel, fully phase-decomposed (H-oct x W-quad).
+
+    On top of :func:`fused_stem_v2`'s H-oct merge, W-QUADS also merge into
+    lanes (a free outside reshape), making every slab a FULL 128-lane
+    vreg: slab assembly drops another ~1.6x (35 slabs of 1/8-size phases
+    vs 28 of 1/4-size) and the oct merge halves. Conv cols split into
+    j % 2 phases; the maxpool's W step becomes a cross-phase max.
+    Scope: batch 1, H % 16 == 0, W % 8 == 0.
+    """
+    n, h, ws, c = x.shape
+    assert n == 1, "fused_stem_v3 is a B=1 kernel"
+    assert c <= 4 and h % 16 == 0 and ws % 8 == 0, x.shape
+    o = w.shape[-1]
+    hp, wp = h // 4, ws // 4
+    out_dtype = x.dtype if out_dtype is None else out_dtype
+
+    x4 = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 4 - c))) if c < 4 else x
+    xwr = x4.reshape(n, h, ws // 4, 16)
+
+    w2d = transform_stem_kernel(w).reshape(256, o).astype(x.dtype)
+    if "sels" not in _SELS_V3_CACHE:
+        _SELS_V3_CACHE["sels"] = _phase_selectors_v3()
+    sels = _SELS_V3_CACHE["sels"]
+    was = [jnp.asarray(sels[(a, b)], x.dtype) @ w2d
+           for a in range(4) for b in range(2)]
+    bf = (jnp.zeros((o,), jnp.float32) if bias is None
+          else bias.astype(jnp.float32)).reshape(1, o)
+
+    return pl.pallas_call(
+        _stem_v3_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, hp, wp, o), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (h // 2) * (ws // 2) * 256 * o,
+            bytes_accessed=h * ws * 4 * x.dtype.itemsize + hp * wp * o * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xwr, *was, bf)

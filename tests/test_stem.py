@@ -208,3 +208,27 @@ class TestFusedStemV2:
         ref2 = F.max_pool(jnp.maximum(m.bn1(
             m.conv1._inner()(x2)), 0), 3, 2, 1)
         np.testing.assert_allclose(m.conv1(x2), ref2, rtol=1e-4, atol=1e-4)
+
+
+class TestFusedStemV3:
+    def test_matches_reference(self):
+        from bnn_tpu.kernels.stem import fused_stem_reference, fused_stem_v3
+
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+        w = jnp.asarray(rng.randn(7, 7, 3, 64) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+        got = fused_stem_v3(x, w, b, interpret=True)
+        ref = fused_stem_reference(x, w, b)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def test_224(self):
+        """Full ImageNet geometry (the deployed serving shape)."""
+        from bnn_tpu.kernels.stem import fused_stem_reference, fused_stem_v3
+
+        rng = np.random.RandomState(6)
+        x = jnp.asarray(rng.randn(1, 224, 224, 3), jnp.float32)
+        w = jnp.asarray(rng.randn(7, 7, 3, 64) * 0.1, jnp.float32)
+        got = fused_stem_v3(x, w, None, interpret=True)
+        ref = fused_stem_reference(x, w, None)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
