@@ -21,9 +21,12 @@ SGD) on the flat row are exactly the per-leaf update, and padding lanes
 have zero gradient so they stay zero. ``unflatten_stage_states`` recovers
 per-stage module states for checkpointing / evaluation.
 
-Same BN caveat as the homogeneous pipeline: running-stat updates inside
-the pipelined trunk are discarded (stage functions are pure); train with
-frozen stats or keep BN outside the pipelined region.
+Unlike the homogeneous pipeline, BatchNorm running stats are NOT lost:
+``apply(..., return_state=True)`` returns the updated flat buffer with
+each stage's mutable-state writes, committed per REAL microbatch tick in
+schedule order — exactly the sequential per-microbatch EMA (verified in
+tests). With a data axis, stats are additionally pmean-averaged across
+replicas (SyncBN-style).
 
 The reference has no pipeline parallelism of any kind (SURVEY.md §2.3).
 """
@@ -143,15 +146,21 @@ class HeteroPipeline:
             gd = self._graphdefs[i]
             shapes, treedef = self._shapes[i], self._treedefs[i]
             dtypes = self._dtypes[i]
+            n = sum(math.prod(s) if s else 1 for s in shapes)
 
             def _branch(flat, xflat, gd=gd, shapes=shapes, treedef=treedef,
                         dtypes=dtypes, in_shape=in_shape,
-                        out_shape=out_shape):
+                        out_shape=out_shape, n=n):
                 st = _unflatten_state(flat, shapes, treedef, dtypes)
                 x = xflat[:, :math.prod(in_shape)].reshape(
                     (micro,) + in_shape)
-                y = nnx.merge(gd, st)(x).reshape(micro, -1)
-                return jnp.pad(
+                mod = nnx.merge(gd, st)
+                y = mod(x).reshape(micro, -1)
+                # mutable state (BN running stats in train mode) written
+                # back into this stage's flat row
+                new_flat, _, _ = _flatten_state(nnx.state(mod))
+                new_flat = jnp.pad(new_flat, (0, flat.shape[0] - n))
+                return new_flat, jnp.pad(
                     y.astype(xflat.dtype),
                     ((0, 0), (0, self._amax - y.shape[1])))
 
@@ -159,9 +168,16 @@ class HeteroPipeline:
         return branches
 
     def apply(self, flat_params, x: jax.Array, *,
-              n_microbatches: int) -> jax.Array:
+              n_microbatches: int, return_state: bool = False):
         """Pipelined forward of ``x`` (``(batch, *x_shape)``); returns the
-        final stage output, differentiable w.r.t. ``flat_params``/``x``."""
+        final stage output, differentiable w.r.t. ``flat_params``/``x``.
+
+        ``return_state=True`` additionally returns the updated flat buffer
+        carrying each stage's mutable-state writes (BatchNorm running
+        stats in train mode) with EXACTLY the sequential per-microbatch
+        EMA semantics — each stage processes microbatches in order in the
+        GPipe schedule, the same order a sequential loop would. The state
+        path is gradient-stopped."""
         axis, mesh = self.axis, self.mesh
         n_stages = self.n_stages
         batch = x.shape[0]
@@ -194,12 +210,17 @@ class HeteroPipeline:
             ys = jnp.zeros_like(xs_local)
 
             def tick(carry, t):
-                buf, ys = carry
+                buf, ys, flat = carry
                 feed_idx = jnp.clip(t, 0, n_microbatches - 1)
                 feed = jax.lax.dynamic_index_in_dim(xs_local, feed_idx, 0,
                                                     keepdims=False)
                 inp = jnp.where(s == 0, feed, buf)
-                out = jax.lax.switch(s, branches, flat, inp)
+                new_flat, out = jax.lax.switch(s, branches, flat, inp)
+                # stage s processes REAL microbatch (t - s) at tick t; only
+                # then commit its mutable-state writes (running stats) —
+                # warm-up/drain ticks compute on garbage and must not
+                proc = jnp.logical_and(t - s >= 0, t - s < n_microbatches)
+                flat = jnp.where(proc, jax.lax.stop_gradient(new_flat), flat)
                 out_idx = jnp.clip(t - last, 0, n_microbatches - 1)
                 valid = jnp.logical_and(t - last >= 0, s == last)
                 cur = jax.lax.dynamic_index_in_dim(ys, out_idx, 0,
@@ -207,18 +228,29 @@ class HeteroPipeline:
                 ys = jax.lax.dynamic_update_index_in_dim(
                     ys, jnp.where(valid, out, cur), out_idx, 0)
                 buf = jax.lax.ppermute(out, axis, perm)
-                return (buf, ys), None
+                return (buf, ys, flat), None
 
-            (_, ys), _ = jax.lax.scan(tick, (buf, ys), jnp.arange(ticks))
-            return jax.lax.psum(
+            (_, ys, flat), _ = jax.lax.scan(
+                tick, (buf, ys, flat), jnp.arange(ticks))
+            ys = jax.lax.psum(
                 jnp.where(s == last, ys, jnp.zeros_like(ys)), axis)
+            if has_data:
+                # with a data axis each replica saw its own batch shard;
+                # average the running stats across replicas (SyncBN-style
+                # EMA average; params are identical so this is a no-op on
+                # them)
+                flat = jax.lax.pmean(flat, "data")
+            return ys, flat[None]
 
-        y = jax.shard_map(
+        y, new_flat = jax.shard_map(
             _local, mesh=mesh,
             in_specs=(state_spec, x_spec),
-            out_specs=x_spec,
+            out_specs=(x_spec, state_spec),
             check_vma=False,
         )(flat_params, xs)
         n_out = math.prod(self.out_shape)
-        return y.reshape(batch, self._amax)[:, :n_out].reshape(
+        y = y.reshape(batch, self._amax)[:, :n_out].reshape(
             (batch,) + self.out_shape)
+        if return_state:
+            return y, new_flat
+        return y

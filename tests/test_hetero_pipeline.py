@@ -183,3 +183,71 @@ class TestHeteroPipeline:
         rebuilt = pipe.stage_modules(pipe.flat_params)
         got = _sequential(rebuilt, x)
         np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+class TestPipelinedBNStats:
+    """apply(return_state=True): BN running stats updated with the exact
+    sequential per-microbatch EMA semantics (lifts the homogeneous
+    pipeline's stats-discarded caveat)."""
+
+    def _stages(self, seed=0):
+        rngs = nnx.Rngs(seed)
+        stages = [
+            nn.Sequential(nn.Conv2d(3, 8, 3, padding=1, rngs=rngs),
+                          nn.BatchNorm2d(8, rngs=rngs), nn.ReLU()),
+            nn.Sequential(nn.Conv2d(8, 16, 3, stride=2, padding=1,
+                                    rngs=rngs),
+                          nn.BatchNorm2d(16, rngs=rngs), nn.ReLU()),
+            nn.Sequential(nn.Conv2d(16, 16, 3, padding=1, rngs=rngs),
+                          nn.BatchNorm2d(16, rngs=rngs), nn.ReLU()),
+            nn.Sequential(nn.AdaptiveAvgPool2d(1), nn.Flatten(),
+                          nn.Linear(16, 4, rngs=rngs)),
+        ]
+        for st in stages:
+            st.train()  # BN updates running stats
+        return stages
+
+    def test_stats_match_sequential_microbatch_loop(self):
+        from bnn_tpu.parallel.hetero_pipeline import _flatten_state
+
+        mesh = make_pipeline_mesh(pipe=4, data=1,
+                                  devices=jax.devices()[:4])
+        stages = self._stages()
+        pipe = HeteroPipeline(stages, x_shape=(8, 8, 3), mesh=mesh)
+        x = jax.random.normal(jax.random.key(7), (8, 8, 8, 3))
+
+        _, new_flat = pipe.apply(pipe.flat_params, x, n_microbatches=4,
+                                 return_state=True)
+        assert not np.allclose(np.asarray(new_flat),
+                               np.asarray(pipe.flat_params))
+
+        # sequential reference: each microbatch through all stages in order
+        seq_stages = self._stages()
+        for mb in x.reshape(4, 2, 8, 8, 3):
+            h = mb
+            for st in seq_stages:
+                h = st(h)
+        ref_flat = jnp.stack([
+            jnp.pad(f, (0, pipe.flat_params.shape[1] - f.shape[0]))
+            for f in [_flatten_state(nnx.state(st))[0] for st in seq_stages]
+        ])
+        np.testing.assert_allclose(np.asarray(new_flat), np.asarray(ref_flat),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_stats_with_data_axis(self):
+        """data>1: stats are pmean-averaged (SyncBN-style); Params stay
+        bit-identical, BatchStats move."""
+        mesh = make_pipeline_mesh(pipe=4, data=2)
+        stages = self._stages()
+        pipe = HeteroPipeline(stages, x_shape=(8, 8, 3), mesh=mesh)
+        x = jax.random.normal(jax.random.key(8), (8, 8, 8, 3))
+        _, new_flat = pipe.apply(pipe.flat_params, x, n_microbatches=2,
+                                 return_state=True)
+        assert np.all(np.isfinite(np.asarray(new_flat)))
+        olds = pipe.stage_modules(pipe.flat_params)
+        news = pipe.stage_modules(new_flat)
+        np.testing.assert_array_equal(
+            np.asarray(news[0][0].kernel[...]),
+            np.asarray(olds[0][0].kernel[...]))
+        assert not np.allclose(np.asarray(news[0][1].mean[...]),
+                               np.asarray(olds[0][1].mean[...]))
