@@ -200,7 +200,7 @@ class HeteroPipeline:
         x_spec = P(None, data_spec, None)
 
         def _local(flat_local, xs_local):
-            flat = flat_local[0]  # this device's stage row
+            flat0 = flat_local[0]  # this device's stage row
             s = jax.lax.axis_index(axis)
             last = n_stages - 1
             perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
@@ -215,7 +215,13 @@ class HeteroPipeline:
                 feed = jax.lax.dynamic_index_in_dim(xs_local, feed_idx, 0,
                                                     keepdims=False)
                 inp = jnp.where(s == 0, feed, buf)
-                new_flat, out = jax.lax.switch(s, branches, flat, inp)
+                # VALUE: the carried buffer (running stats compound across
+                # microbatches). GRADIENT: entirely w.r.t. the original
+                # params — carried deltas are stats-only (train-mode BN
+                # outputs don't read them) and must not truncate the
+                # per-tick param gradient paths.
+                eff = flat0 + jax.lax.stop_gradient(flat - flat0)
+                new_flat, out = jax.lax.switch(s, branches, eff, inp)
                 # stage s processes REAL microbatch (t - s) at tick t; only
                 # then commit its mutable-state writes (running stats) —
                 # warm-up/drain ticks compute on garbage and must not
@@ -231,7 +237,7 @@ class HeteroPipeline:
                 return (buf, ys, flat), None
 
             (_, ys, flat), _ = jax.lax.scan(
-                tick, (buf, ys, flat), jnp.arange(ticks))
+                tick, (buf, ys, flat0), jnp.arange(ticks))
             ys = jax.lax.psum(
                 jnp.where(s == last, ys, jnp.zeros_like(ys)), axis)
             if has_data:
