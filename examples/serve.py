@@ -18,9 +18,12 @@ Pipeline inside ``Predictor`` (one call):
                   small batch (TPU only)
   bf16         -> float path cast to bf16, fixed-batch jit
 
-Multi-chip: pass ``mesh=jax.make_mesh((n,), ('data',))`` and requests are
-batch-sharded over chips with replicated weights (shard_map; the
-reference's analogue is nn.DataParallel, examples/cifar10.py:76).
+Multi-chip: ``--data-parallel N`` batch-shards requests over chips with
+replicated weights (the reference's analogue is nn.DataParallel,
+examples/cifar10.py:76); ``--tensor-parallel N`` instead shards every
+layer's PACKED weights out-channel over N chips (1/N packed bytes per
+chip, per-layer all_gather over ICI — inference/tp.py). Both compose:
+``--data-parallel 2 --tensor-parallel 4`` on 8 devices.
 """
 import argparse
 import time
@@ -62,20 +65,35 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--size", type=int, default=224)
     ap.add_argument("--requests", type=int, default=4)
+    ap.add_argument("--data-parallel", type=int, default=1,
+                    help="batch-shard requests over N chips")
+    ap.add_argument("--tensor-parallel", type=int, default=1,
+                    help="shard packed weights out-channel over N chips")
     args = ap.parse_args()
 
     on_tpu = jax.devices()[0].platform != "cpu"
     common = dict(batch_size=args.batch_size, use_pallas=on_tpu,
                   fuse=on_tpu, quantize_float_bits=8)
+    if args.data_parallel * args.tensor_parallel > 1:
+        from bnn_tpu.parallel import make_mesh
+
+        common["mesh"] = make_mesh(data=args.data_parallel,
+                                   model=args.tensor_parallel)
+        if args.tensor_parallel > 1:
+            # megakernels reduce over full channels; TP serving is unfused
+            common.update(tensor_parallel=True, fuse=False)
     if args.ckpt:
         predictor = Predictor.from_checkpoint(
             args.ckpt, lambda: build_model(args.num_classes), **common)
     else:
         predictor = Predictor(build_model(args.num_classes), **common)
 
+    mode = ("TPU megakernels" if on_tpu else "CPU reference path")
+    if predictor.tensor_parallel:
+        mode += (f", {len(predictor.tp_layers)} layers tensor-sharded over "
+                 f"{args.tensor_parallel} chips")
     print(f"serving state: {predictor.state_bytes() / 1e6:.2f} MB, "
-          f"batch {args.batch_size}, "
-          f"{'TPU megakernels' if on_tpu else 'CPU reference path'}")
+          f"batch {args.batch_size}, {mode}")
 
     rng = np.random.default_rng(0)
     for i in range(args.requests):

@@ -95,3 +95,15 @@ def test_imagenet_resume_restores_optimizer(tmp_path, monkeypatch, capsys):
     assert "moments reset" not in out
     assert "skipped" not in out  # optimizer state matches exactly
     assert "Epoch[1]" in out and "Epoch[0]" not in out  # resumed at epoch 1
+
+
+def test_serve_example_tensor_parallel(monkeypatch, capsys):
+    """--tensor-parallel serving on the virtual 8-device mesh."""
+    import examples  # noqa: F401
+    _run("examples/serve.py",
+         ["--num-classes", "16", "--size", "64", "--batch-size", "4",
+          "--requests", "2", "--data-parallel", "2",
+          "--tensor-parallel", "4"], monkeypatch)
+    out = capsys.readouterr().out
+    assert "tensor-sharded over 4 chips" in out
+    assert "request 1:" in out
