@@ -183,10 +183,12 @@ class FusedStem(nnx.Module):
             return F.max_pool(y, 3, 2, 1)
         inner = self._inner()
         bias = inner.bias[...] if inner.bias is not None else None
-        # phase-decomposed variants at B=1 (the stem is half the whole-model
-        # latency there): v3 (H-oct x W-quad) measured ~19 us, v2 (H-oct)
-        # ~24 us, v1 grid kernel 30.5 us, unfused XLA ~120 us (224^2, v5e)
-        if n == 1 and h % 16 == 0 and w % 8 == 0:
+        # phase-decomposed variants (224^2 v5e): v3 (H-oct x W-quad,
+        # image-grid) ~19 us at B=1 and ~16.4 us/img at B=2-8 (1.7-2x over
+        # the v1 grid kernel); v2 (H-oct, B=1) ~24; v1 30.5; unfused XLA
+        # ~120. At B>=16 XLA's conv wins outright (v3 measured 1.0 ms vs
+        # XLA 0.76 ms at B=64) — the max_batch cap already routes there.
+        if h % 16 == 0 and w % 8 == 0:
             return fused_stem_v3(x, inner.kernel[...], bias,
                                  interpret=self.interpret)
         if n == 1 and h % 16 == 0:

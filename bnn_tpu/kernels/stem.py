@@ -485,17 +485,19 @@ def fused_stem_v3(
     out_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
-    """B=1 stem megakernel, fully phase-decomposed (H-oct x W-quad).
+    """Phase-decomposed stem megakernel (H-oct x W-quad), any batch.
 
     On top of :func:`fused_stem_v2`'s H-oct merge, W-QUADS also merge into
     lanes (a free outside reshape), making every slab a FULL 128-lane
     vreg: slab assembly drops another ~1.6x (35 slabs of 1/8-size phases
     vs 28 of 1/4-size) and the oct merge halves. Conv cols split into
     j % 2 phases; the maxpool's W step becomes a cross-phase max.
-    Scope: batch 1, H % 16 == 0, W % 8 == 0.
+    Batches run as a grid over images (one image's working set per step —
+    round 2's B=64 Pallas-stem failure was the 1/8-lane slab copies of
+    the pair-merge form, which this layout removes). Scope: H % 16 == 0,
+    W % 8 == 0.
     """
     n, h, ws, c = x.shape
-    assert n == 1, "fused_stem_v3 is a B=1 kernel"
     assert c <= 4 and h % 16 == 0 and ws % 8 == 0, x.shape
     o = w.shape[-1]
     hp, wp = h // 4, ws // 4
@@ -513,11 +515,23 @@ def fused_stem_v3(
     bf = (jnp.zeros((o,), jnp.float32) if bias is None
           else bias.astype(jnp.float32)).reshape(1, o)
 
+    def idx_x(b):
+        return (b, 0, 0, 0)
+
+    def idx_w(b):
+        return (0, 0)
+
     return pl.pallas_call(
         _stem_v3_kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, hp, wp, o), out_dtype),
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, h, ws // 4, 16), idx_x,
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(wa.shape, idx_w, memory_space=pltpu.VMEM)
+           for wa in was]
+        + [pl.BlockSpec((1, o), idx_w, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, hp, wp, o), idx_x,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hp, wp, o), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * (h // 2) * (ws // 2) * 256 * o,
             bytes_accessed=h * ws * 4 * x.dtype.itemsize + hp * wp * o * 2,
