@@ -142,6 +142,37 @@ def main():
                     iters=10 * iters, rounds=rounds)
     log(f"serving fused B=1: {t_1*1e6:.1f} us/img ({1/t_1:.0f} img/s)")
 
+    # the reference's own efficient-stem option (DaBNN, its models/resnet.py
+    # stem_type) removes the 7x7 fp32 stem that bounds B=64 throughput
+    if on_tpu:
+        def build_dabnn():
+            with jax.default_device(cpu):
+                m = models.resnet18(num_classes=1000, stem_type="dabnn",
+                                    rngs=nnx.Rngs(0))
+                m = prepare_binary_model(
+                    m,
+                    bconfig=BConfig(
+                        activation_pre_process=BasicInputBinarizer.with_args(
+                            zero_to_one=True),
+                        activation_post_process=BasicScaleBinarizer,
+                        weight_pre_process=XNORWeightBinarizer,
+                    ),
+                    ignore_layers_name=["_first_", "_last_"],
+                )
+                m.eval()
+            return m
+
+        dep_d = deploy(build_dabnn(), use_pallas=True, weight_format="int8")
+        optimize_deployed(dep_d)
+        cast_floats(dep_d, jnp.bfloat16)
+        to_bench_device(dep_d)
+        gd, sd = nnx.split(dep_d)
+        t_d = loop_time(lambda v: nnx.merge(gd, sd)(v), x16, iters=20,
+                        rounds=rounds)
+        log(f"deployed dabnn-stem: {t_d*1e3:.2f} ms/batch "
+            f"({batch/t_d:.0f} img/s) — the 7x7 fp32 stem bounds the "
+            f"basic config at B=64")
+
     imgs_per_s = batch / t_i8
     print(json.dumps({
         "metric": "binary_resnet18_deployed_inference",

@@ -93,7 +93,9 @@ def _step(obj, seg: str):
     if isinstance(obj, (list, tuple)):
         return obj[int(seg)]
     if isinstance(obj, dict):
-        return obj[seg]
+        if seg in obj:
+            return obj[seg]
+        return obj[int(seg)]  # int-keyed dicts stringify in dotted names
     return getattr(obj, seg)
 
 
@@ -117,7 +119,7 @@ def set_module_by_name(model: nnx.Module, name: str, new: nnx.Module) -> None:
             f"cannot replace {name!r}: parent container is an immutable "
             f"tuple — store submodules in a list instead")
     elif isinstance(parent, dict):
-        parent[last] = new
+        parent[last if last in parent else int(last)] = new
     else:
         setattr(parent, last, new)
 

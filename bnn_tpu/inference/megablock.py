@@ -487,13 +487,14 @@ def fuse_blocks(model: nnx.Module, *, max_fused_batch: int = 4,
     near-roofline and the kernel's in-VMEM patch assembly floor loses.
     Available for other chips/models where the tradeoff may differ.
     """
-    from .stages import FusedStage  # local import (stages imports us)
-
     fused = 0
     wrapped = []  # don't descend into fused blocks (their .block stays live)
     for name, m in list(named_modules(model)):
-        if isinstance(m, (FusedBlock, FusedDownBlock, FusedBottleneck,
-                          FusedStage)):
+        # NOTE: FusedStage subtrees are NOT skipped — their fallback
+        # Sequential (batches above the stage cap) should still get
+        # per-block megakernels; FusedStage captured its metadata at
+        # construction, so wrapping its children is safe.
+        if isinstance(m, (FusedBlock, FusedDownBlock, FusedBottleneck)):
             wrapped.append(name + ".")
             continue
         if any(name.startswith(p) for p in wrapped):

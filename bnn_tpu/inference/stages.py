@@ -107,22 +107,26 @@ class FusedStage(nnx.Module):
         self._params_v = nnx.data([
             [nnx.Variable(a) for a in bp.arrays()] for bp in bps])
         self._metas = [(bp.kind, bp.ci, bp.co) for bp in bps]
+        # capture act/sign metadata now: the fallback Sequential's blocks
+        # may later be wrapped by fuse_blocks (per-block megakernels for
+        # batches above this stage's cap), hiding the raw block attrs
+        b0 = stage[0]
+        self._acts = (_act_kind(b0.act1)[0], _act_kind(b0.act2)[0])
+        self._z21 = getattr(b0.conv1, "zero_to_one", False)
 
     def _params(self):
         return [BlockParams.from_arrays(meta, [v[...] for v in vs])
                 for meta, vs in zip(self._metas, self._params_v)]
 
     def __call__(self, x):
-        b0 = self.stage[0]
         n, h, w, _ = x.shape
         if n > self.max_fused_batch or h % 2 or w % 2:
+            # fallback Sequential: blocks may themselves be FusedBlock
+            # megakernels (fuse_blocks runs after fuse_stages)
             return self.stage(x)
-        a1, _ = _act_kind(b0.act1)
-        a2, _ = _act_kind(b0.act2)
-        z21 = getattr(b0.conv1, "zero_to_one", False)
         return fused_chain(
             x, self._params(),
-            act=(a1, a2), pre=self.pre, zero_to_one=z21,
+            act=self._acts, pre=self.pre, zero_to_one=self._z21,
             out_dtype=x.dtype, interpret=self.interpret)
 
 

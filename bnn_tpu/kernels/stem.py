@@ -236,7 +236,7 @@ def fused_stem_reference(x, w, bias=None, *, out_dtype=None) -> jax.Array:
 # v2: H-oct lane merge + row-phase decomposition (B=1)
 
 
-def _phase_selectors(o: int):
+def _phase_selectors():
     """Per-phase tap-selection matrices S_a (K_a, 256).
 
     Phase ``a = conv_row % 4``. The s2d input is lane-merged by raw-row
@@ -359,10 +359,9 @@ def fused_stem_v2(
     xwr = x4.reshape(n, h, ws // 2, 8)
 
     w2d = transform_stem_kernel(w).reshape(256, o).astype(x.dtype)
-    key = o
-    if key not in _SELS_CACHE:
-        _SELS_CACHE[key] = _phase_selectors(o)
-    was = [jnp.asarray(s, x.dtype) @ w2d for s in _SELS_CACHE[key]]
+    if "sels" not in _SELS_CACHE:  # o-independent tap-selection matrices
+        _SELS_CACHE["sels"] = _phase_selectors()
+    was = [jnp.asarray(s, x.dtype) @ w2d for s in _SELS_CACHE["sels"]]
     bf = (jnp.zeros((o,), jnp.float32) if bias is None
           else bias.astype(jnp.float32)).reshape(1, o)
 
@@ -430,11 +429,9 @@ def _stem_v3_kernel(x_ref, *refs):
     w_refs, b_ref, out_ref = refs[:8], refs[8], refs[9]
     v = x_ref[...]  # (1, H, W/4, 16) bf16: W-quads on lanes (wq, c)
     _, h, wq_n, c16 = v.shape
-    no = h // 8
-    p_rows = h // 8 // 1  # octs
-    ncr = h // 2
-    pr = ncr // 4          # rows per phase
-    pc = ncr // 2          # cols per phase (56)
+    no = h // 8            # octs
+    pr = (h // 2) // 4     # conv rows per phase
+    pc = wq_n              # conv cols per phase == W-quad count (W/4)
     o = out_ref.shape[-1]
 
     # H-oct merge: raw rows 8G..8G+7 -> lanes (qi, wq, c)

@@ -58,6 +58,11 @@ def _bfloat16_dtype():
     return np.dtype(ml_dtypes.bfloat16)
 
 
+class _OrderedDictStub(dict):
+    """dict subclass standing in for collections.OrderedDict so pickled
+    instance attributes (torch's ``_metadata``) can be restored."""
+
+
 class _StorageRef:
     """Lazy handle to one raw storage blob inside the checkpoint zip."""
 
@@ -118,7 +123,10 @@ class _Unpickler(pickle.Unpickler):
 
     def find_class(self, module: str, name: str):
         if module == "collections" and name == "OrderedDict":
-            return dict
+            # a dict SUBCLASS, not dict: torch's state_dict() attaches a
+            # `_metadata` instance attribute that pickle restores via
+            # instance __dict__, which plain dict lacks
+            return _OrderedDictStub
         if module == "torch._utils":
             if name in ("_rebuild_tensor_v2", "_rebuild_tensor"):
                 return _rebuild_tensor
@@ -222,22 +230,24 @@ def import_torch_checkpoint(
 ) -> Tuple[List[str], List[str]]:
     """Load a reference torch checkpoint's tensors into ``model`` in place.
 
-    Returns ``(missing, unexpected)``: our leaves with no torch source, and
-    torch keys that matched nothing. ``strict=True`` raises if either list
-    is non-empty or any shape is irreconcilable.
+    Returns ``(missing, unexpected)``:
+
+    - ``missing``: our leaves with no usable torch source — either no key
+      of the expected name, or an irreconcilable shape (annotated with
+      both shapes);
+    - ``unexpected``: torch keys that matched nothing.
+
+    A name-matched-but-wrong-shape key appears ONLY in ``missing`` (with
+    its shape diagnostic), never in ``unexpected``. ``strict=True`` raises
+    if either list is non-empty.
     """
+    from .checkpoint import _unflatten, _walk
+
     sd = torch_to_state_dict(src)
     state = nnx.state(model)
     pure = nnx.to_pure_dict(state)
 
-    def _walk(d, prefix=()):
-        if isinstance(d, dict):
-            for k, v in d.items():
-                yield from _walk(v, prefix + (k,))
-        else:
-            yield prefix, d
-
-    used, missing, mismatched = set(), [], []
+    used, missing = set(), []
     flat = dict(_walk(pure))
     merged = {}
     for path, cur in flat.items():
@@ -247,35 +257,28 @@ def import_torch_checkpoint(
         for tleaf in _LEAF_TO_TORCH.get(leaf, (leaf,)):
             tkey = f"{prefix}.{tleaf}" if prefix else tleaf
             if tkey in sd:
+                used.add(tkey)  # name-matched either way
                 got = _to_ours(sd[tkey], leaf, np.shape(cur))
                 if got is None:
-                    mismatched.append(
-                        f"{tkey} {sd[tkey].shape} -> {'.'.join(path)} "
-                        f"{np.shape(cur)}")
-                else:
-                    used.add(tkey)
+                    missing.append(
+                        f"{'.'.join(str(p) for p in path)} "
+                        f"[shape: torch {tuple(sd[tkey].shape)} vs "
+                        f"{tuple(np.shape(cur))}]")
                 break
-        if got is None:
-            missing.append(".".join(str(p) for p in path))
-            merged[path] = cur
         else:
-            merged[path] = got.astype(np.asarray(cur).dtype)
+            missing.append(".".join(str(p) for p in path))
+        merged[path] = (cur if got is None
+                        else got.astype(np.asarray(cur).dtype))
 
     unexpected = [
         k for k in sd
         if k not in used and k.rsplit(".", 1)[-1] not in _TORCH_ONLY_LEAVES
     ]
-    if strict and (missing or unexpected or mismatched):
+    if strict and (missing or unexpected):
         raise ValueError(
             f"torch import mismatch: missing={missing[:5]} "
-            f"unexpected={unexpected[:5]} shape={mismatched[:5]}")
+            f"unexpected={unexpected[:5]}")
 
-    root: Dict = {}
-    for path, v in merged.items():
-        d = root
-        for k in path[:-1]:
-            d = d.setdefault(k, {})
-        d[path[-1]] = v
-    nnx.replace_by_pure_dict(state, root)
+    nnx.replace_by_pure_dict(state, _unflatten(merged))
     nnx.update(model, state)
     return missing, unexpected

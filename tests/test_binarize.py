@@ -307,3 +307,24 @@ class TestStockFlaxModel:
         assert type(bnet.conv1) is nnx.Conv     # first stays float
         assert type(bnet.fc) is nnx.Linear      # last stays float
         assert isinstance(bnet.conv2, blayers.Conv2d)
+
+
+def test_int_keyed_dict_container_round_trip():
+    """Int-keyed dict children: dotted names stringify the key, so
+    get/set_module_by_name must fall back to int keys (review r3)."""
+    from bnn_tpu.binarize import get_module_by_name, set_module_by_name
+
+    class Net(nnx.Module):
+        def __init__(self, rngs):
+            self.d = nnx.data({0: nn.Linear(4, 4, rngs=rngs),
+                               1: nn.Linear(4, 4, rngs=rngs)})
+
+    net = Net(nnx.Rngs(0))
+    names = dict(named_modules(net))
+    assert "d.0" in names
+    assert get_module_by_name(net, "d.0") is net.d[0]
+    bnet = prepare_binary_model(net, bconfig=BCONFIG)
+    assert isinstance(bnet.d[0], blayers.Linear)
+    new = nn.Linear(4, 4, rngs=nnx.Rngs(5))
+    set_module_by_name(bnet, "d.1", new)
+    assert bnet.d[1] is new

@@ -127,7 +127,8 @@ class TestFuseStagesPass:
         assert isinstance(dep.layer1, FusedStage)
         assert not isinstance(dep.layer2, FusedStage)
         nb = fuse_blocks(dep, max_fused_batch=4, interpret=True)
-        assert nb >= 3  # the layerN.1 stride-1 blocks; layer1 untouched
+        # layerN.1 stride-1 blocks + layer1's inner blocks (stage fallback)
+        assert nb >= 3
         np.testing.assert_array_equal(dep(x), expected)
 
     def test_large_batch_falls_back(self):
@@ -177,3 +178,25 @@ class TestChainGenerality:
         assert len(dep.layer1.stage) == 3
         assert not isinstance(dep.layer4, FusedStage)  # over budget
         np.testing.assert_array_equal(dep(x), expected)
+
+
+def test_stage_fallback_keeps_block_megakernels():
+    """B > stage cap must fall back to PER-BLOCK megakernels, not the raw
+    unfused ops (review r3): fuse_blocks wraps the inner blocks of a
+    FusedStage for exactly this path."""
+    from bnn_tpu.inference.megablock import FusedBlock
+
+    ref = _deployed_resnet18()
+    xb = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+    expected = ref(xb)
+
+    dep = _deployed_resnet18()
+    fuse_stages(dep, kinds=("pair",), interpret=True)
+    fuse_blocks(dep, max_fused_batch=4, interpret=True)
+    assert isinstance(dep.layer1, FusedStage)
+    # the stage's fallback Sequential now holds per-block megakernels
+    assert isinstance(dep.layer1.stage[0], FusedBlock)
+    assert isinstance(dep.layer1.stage[1], FusedBlock)
+    np.testing.assert_array_equal(dep(xb), expected)   # B=2: fallback path
+    x1 = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
+    np.testing.assert_array_equal(dep(x1), ref(x1))    # B=1: chain kernel

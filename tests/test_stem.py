@@ -232,3 +232,17 @@ class TestFusedStemV3:
         got = fused_stem_v3(x, w, None, interpret=True)
         ref = fused_stem_reference(x, w, None)
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_stem_v3_non_square():
+    """Non-square inputs (review r3): v3's per-phase col count must come
+    from the WIDTH, not the height."""
+    from bnn_tpu.kernels.stem import fused_stem_reference, fused_stem_v3
+
+    rng = np.random.RandomState(9)
+    for h, w in ((32, 48), (48, 32), (16, 64)):
+        x = jnp.asarray(rng.randn(1, h, w, 3), jnp.float32)
+        wk = jnp.asarray(rng.randn(7, 7, 3, 32) * 0.1, jnp.float32)
+        got = fused_stem_v3(x, wk, None, interpret=True)
+        ref = fused_stem_reference(x, wk, None)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)

@@ -172,3 +172,31 @@ def test_resnet18_schema_matches_torchvision_names():
     assert "conv1.kernel" in paths
     assert "layer1.0.conv1.kernel" in paths
     assert "fc.kernel" in paths
+
+
+def test_real_state_dict_with_metadata(tmp_path):
+    """An ACTUAL torch nn.Module.state_dict() carries a _metadata instance
+    attribute on its OrderedDict; the no-torch loader must absorb it
+    (review r3 — previously crashed on every genuine checkpoint)."""
+    tm = torch.nn.Sequential(torch.nn.Conv2d(3, 4, 3), torch.nn.Linear(4, 2))
+    path = str(tmp_path / "real.pth")
+    torch.save({"state_dict": tm.state_dict(), "epoch": 1}, path)
+    sd = load_torch_file(path)["state_dict"]
+    assert "0.weight" in sd and "1.bias" in sd
+    assert np.asarray(sd["0.weight"]).shape == (4, 3, 3, 3)
+    np.testing.assert_allclose(np.asarray(sd["1.weight"]),
+                               tm[1].weight.detach().numpy())
+
+
+def test_shape_mismatch_reported_once(tmp_path):
+    """A name-matched wrong-shape tensor lands ONLY in `missing` (with the
+    shape diagnostic), not in `unexpected` (review r3)."""
+    src = small_net(seed=0)
+    sd = export_torch_state_dict(src)
+    sd["7.weight"] = torch.zeros(3, 8)  # fc head with a wrong shape
+    path = str(tmp_path / "shape.pth")
+    torch.save({"state_dict": sd}, path)
+    dst = small_net(seed=1)
+    missing, unexpected = import_torch_checkpoint(dst, path, strict=False)
+    assert unexpected == []
+    assert len(missing) == 1 and "shape" in missing[0], missing
