@@ -124,16 +124,15 @@ def main():
         f"({qat_state/state_bytes(dep_p):.1f}x vs fp32 QAT state; "
         f"binary layers {bin_fp32/bin_packed:.1f}x bitpacked)")
 
-    # serving latency: full optimized pipeline (BN folds + fused Pallas
-    # stem megakernel + whole-block megakernels) at batch 1
-    from bnn_tpu.inference import (fuse_blocks, fuse_stages, fuse_stem,
-                                   optimize_deployed)
+    # serving latency at batch 1: BN folds + the phase-decomposed stem
+    # megakernel; the post-act body runs UNFUSED — round-3 sweeps showed
+    # XLA schedules it near-perfectly and block kernels only add cost
+    # (inference/megablock.py docstring; pre-act bodies still fuse)
+    from bnn_tpu.inference import fuse_stem, optimize_deployed
     dep_s = deploy(build(), use_pallas=on_tpu, weight_format="int8")
     optimize_deployed(dep_s)
     if on_tpu:
         fuse_stem(dep_s)
-        fuse_stages(dep_s, kinds=("pair",))
-        fuse_blocks(dep_s, max_fused_batch=4)
     cast_floats(dep_s, jnp.bfloat16)
     to_bench_device(dep_s)
     gs, ss = nnx.split(dep_s)

@@ -30,6 +30,14 @@ keeps large batches on the original ops. TPU programs are statically
 scheduled: there is no per-op launch overhead to save; fusion here is
 purely an HBM-traffic / MXU-shape / scheduling play.
 
+ROUND-3 UPDATE: with the phase-decomposed stem kernel + layer1 stage
+fusion in the pipeline, the crossover moved to B=1 — at B=2/4 the block
+kernels measured 2-3x SLOWER than XLA's unfused blocks in context
+(B=2: 101 vs 38-57 us; B=4: 216 vs 78-82 us whole-model), so
+``max_fused_batch`` now defaults to 1 throughout. The batch-2-8 regime is
+carried by the stem kernel alone; re-sweep (benchmarks/serving_sweep.py)
+when the surrounding pipeline changes.
+
 :class:`FusedBlock` dispatches at trace time on the actual input shape:
 the megakernel runs iff ``batch <= max_fused_batch`` AND ``fuse_when(n,
 h, w, c)`` holds. :func:`default_fuse_predicate` (the isolated win
@@ -124,7 +132,7 @@ class FusedBlock(nnx.Module):
     large-batch path and for checkpoint round-trips.
     """
 
-    def __init__(self, block, *, max_fused_batch: int = 4,
+    def __init__(self, block, *, max_fused_batch: int = 1,
                  fuse_when=None, pre: bool = False,
                  taps_per_dot: int = 9, interpret: bool = False):
         self.block = block
@@ -170,7 +178,7 @@ class FusedDownBlock(nnx.Module):
     checkpoint round-trips.
     """
 
-    def __init__(self, block, *, max_fused_batch: int = 4,
+    def __init__(self, block, *, max_fused_batch: int = 1,
                  pre: bool = False, interpret: bool = False):
         self.block = block
         self.max_fused_batch = max_fused_batch
@@ -214,7 +222,7 @@ class FusedBottleneck(nnx.Module):
     path and for checkpoint round-trips.
     """
 
-    def __init__(self, block, *, max_fused_batch: int = 4,
+    def __init__(self, block, *, max_fused_batch: int = 1,
                  interpret: bool = False):
         self.block = block
         self.max_fused_batch = max_fused_batch
@@ -467,7 +475,7 @@ def _eligible_pre(block) -> bool:
     return True
 
 
-def fuse_blocks(model: nnx.Module, *, max_fused_batch: int = 4,
+def fuse_blocks(model: nnx.Module, *, max_fused_batch: int = 1,
                 fuse_when=None, strided: bool = False,
                 taps_per_dot: int = 9, interpret: bool = False) -> int:
     """Replace eligible deployed BasicBlocks with FusedBlocks (in place).

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from ..binarize import named_modules
 from ..utils.precision import cast_floats
 from .deploy import deploy
 from .megablock import fuse_blocks
@@ -43,7 +44,7 @@ class Predictor:
                  weight_format: str = "int8", dtype=jnp.bfloat16,
                  use_pallas: bool = True, fold_bn: bool = True,
                  space_to_depth: bool = True, fuse: Optional[bool] = None,
-                 max_fused_batch: int = 4, mesh=None, batch_axis: str = "data",
+                 max_fused_batch: int = 1, mesh=None, batch_axis: str = "data",
                  tensor_parallel: bool = False, model_axis: str = "model",
                  binary_gemm_impl: str = "mxu",
                  quantize_float_bits: Optional[int] = None):
@@ -74,15 +75,20 @@ class Predictor:
             space_to_depth_stem(model)
         if fuse is None:  # megakernels are Pallas-TPU only, like use_pallas
             fuse = use_pallas
-        if fuse:  # both dispatch per traced batch; no-op above the caps
+        if fuse:  # all dispatch per traced batch; no-op above the caps
             fuse_stem(model)
-            # whole-stage kernel for the stride-1 pair (layer1) — measured
-            # faster than two chained block kernels at B=1; the downsample
-            # stage kernels measured slower than XLA's convs and stay
-            # opt-in (inference.stages docstring)
+            # Block/stage megakernels by BLOCK FAMILY (round-3 sweeps,
+            # benchmarks/serving_sweep.py): POST-act bodies now run fastest
+            # fully unfused behind the stem kernel (B=1 ~27us vs ~54us with
+            # block kernels — XLA schedules that graph near-perfectly and
+            # extra Pallas dispatches only hurt), while PRE-act bodies
+            # still need them (240us unfused vs ~66us fused).
+            from ..models.layers import PreBasicBlock
             from .stages import fuse_stages
-            fuse_stages(model, kinds=("pair",))
-            fuse_blocks(model, max_fused_batch=max_fused_batch)
+            if any(isinstance(m, PreBasicBlock)
+                   for _, m in named_modules(model)):
+                fuse_stages(model, kinds=("pair",))
+                fuse_blocks(model, max_fused_batch=max_fused_batch)
         if dtype is not None:
             cast_floats(model, dtype)
         self.batch_size = batch_size
