@@ -48,16 +48,21 @@ def main():
 
     cpu = jax.devices("cpu")[0]
 
-    def build():
+    def build(stem_type="basic"):
         # init on CPU: parameter initialization is hundreds of tiny ops,
-        # which over the remote-TPU tunnel cost a round trip each
+        # which over the remote-TPU tunnel cost a round trip each.
+        # Sign convention: torch-parity TERNARY (the framework's and the
+        # reference's default). NOT zero_to_one: with post-act ReLU that
+        # combination is a DEGENERATE model (sign(relu(x)) == +1) whose
+        # whole binary body XLA folds to constants — rounds 1-3 partially
+        # benchmarked that artifact; see ROADMAP "Measurement discipline"
         with jax.default_device(cpu):
-            m = models.resnet18(num_classes=1000, rngs=nnx.Rngs(0))
+            m = models.resnet18(num_classes=1000, stem_type=stem_type,
+                                rngs=nnx.Rngs(0))
             m = prepare_binary_model(
                 m,
                 bconfig=BConfig(
-                    activation_pre_process=BasicInputBinarizer.with_args(
-                        zero_to_one=True),
+                    activation_pre_process=BasicInputBinarizer,
                     activation_post_process=BasicScaleBinarizer,
                     weight_pre_process=XNORWeightBinarizer,
                 ),
@@ -70,6 +75,18 @@ def main():
         # bulk-transfer the whole state in one hop
         nnx.update(m, jax.device_put(nnx.state(m), dev))
         return m
+
+    def check_not_folded(fn, xe, min_gflops=2.0):
+        """Degenerate-model guard: the compiled executable must actually
+        contain the binary body's FLOPs."""
+        try:
+            fl = jax.jit(fn).lower(xe).compile().cost_analysis()["flops"]
+        except Exception:
+            return
+        scale = xe.shape[0]
+        assert fl >= min_gflops * 1e9 * scale / 64, (
+            f"compiled flops {fl/1e9:.2f}G — body folded away; "
+            "degenerate benchmark config")
 
     x = jax.random.normal(jax.random.key(0), (batch, size, size, 3))
 
@@ -86,6 +103,8 @@ def main():
     cast_floats(dep_i8, jnp.bfloat16)
     to_bench_device(dep_i8)
     gi, si = nnx.split(dep_i8)
+    if on_tpu:
+        check_not_folded(lambda v: nnx.merge(gi, si)(v), x16)
     t_i8 = loop_time(lambda v: nnx.merge(gi, si)(v), x16, iters=iters,
                      rounds=rounds)
     log(f"deployed int8+bf16: {t_i8*1e3:.2f} ms/batch ({batch/t_i8:.0f} img/s) "
@@ -124,15 +143,18 @@ def main():
         f"({qat_state/state_bytes(dep_p):.1f}x vs fp32 QAT state; "
         f"binary layers {bin_fp32/bin_packed:.1f}x bitpacked)")
 
-    # serving latency at batch 1: BN folds + the phase-decomposed stem
-    # megakernel; the post-act body runs UNFUSED — round-3 sweeps showed
-    # XLA schedules it near-perfectly and block kernels only add cost
-    # (inference/megablock.py docstring; pre-act bodies still fuse)
-    from bnn_tpu.inference import fuse_stem, optimize_deployed
+    # serving latency at batch 1: BN folds + the full megakernel pipeline
+    # (phase-decomposed stem + whole-stage chain kernels + per-block
+    # megakernels) — measured fastest on honest configs at every small
+    # batch (inference/megablock.py docstring)
+    from bnn_tpu.inference import (fuse_blocks, fuse_stages, fuse_stem,
+                                   optimize_deployed)
     dep_s = deploy(build(), use_pallas=on_tpu, weight_format="int8")
     optimize_deployed(dep_s)
     if on_tpu:
         fuse_stem(dep_s)
+        fuse_stages(dep_s)
+        fuse_blocks(dep_s, max_fused_batch=4, strided=True)
     cast_floats(dep_s, jnp.bfloat16)
     to_bench_device(dep_s)
     gs, ss = nnx.split(dep_s)
@@ -144,28 +166,13 @@ def main():
     # the reference's own efficient-stem option (DaBNN, its models/resnet.py
     # stem_type) removes the 7x7 fp32 stem that bounds B=64 throughput
     if on_tpu:
-        def build_dabnn():
-            with jax.default_device(cpu):
-                m = models.resnet18(num_classes=1000, stem_type="dabnn",
-                                    rngs=nnx.Rngs(0))
-                m = prepare_binary_model(
-                    m,
-                    bconfig=BConfig(
-                        activation_pre_process=BasicInputBinarizer.with_args(
-                            zero_to_one=True),
-                        activation_post_process=BasicScaleBinarizer,
-                        weight_pre_process=XNORWeightBinarizer,
-                    ),
-                    ignore_layers_name=["_first_", "_last_"],
-                )
-                m.eval()
-            return m
-
-        dep_d = deploy(build_dabnn(), use_pallas=True, weight_format="int8")
+        dep_d = deploy(build(stem_type="dabnn"), use_pallas=True,
+                       weight_format="int8")
         optimize_deployed(dep_d)
         cast_floats(dep_d, jnp.bfloat16)
         to_bench_device(dep_d)
         gd, sd = nnx.split(dep_d)
+        check_not_folded(lambda v: nnx.merge(gd, sd)(v), x16)
         t_d = loop_time(lambda v: nnx.merge(gd, sd)(v), x16, iters=20,
                         rounds=rounds)
         log(f"deployed dabnn-stem: {t_d*1e3:.2f} ms/batch "

@@ -31,8 +31,11 @@ from bnn_tpu.ops import (
 from bnn_tpu.utils import cast_floats, enable_compilation_cache
 from bnn_tpu.utils.timing import loop_time
 
+# torch-parity TERNARY sign: the honest default. zero_to_one + post-act
+# ReLU is a DEGENERATE model (sign(relu(x)) == +1; XLA folds the whole
+# binary body) — see inference/megablock.py's measurement warning.
 BC = BConfig(
-    activation_pre_process=BasicInputBinarizer.with_args(zero_to_one=True),
+    activation_pre_process=BasicInputBinarizer,
     activation_post_process=BasicScaleBinarizer,
     weight_pre_process=XNORWeightBinarizer,
 )
@@ -61,9 +64,8 @@ def main():
         m = deploy(m, use_pallas=True, weight_format="int8")
         optimize_deployed(m)
         fuse_stem(m)
-        if args.pre:  # post-act bodies run fastest unfused (megablock.py)
-            fuse_stages(m, kinds=("pair",))
-            fuse_blocks(m, max_fused_batch=1)
+        fuse_stages(m)
+        fuse_blocks(m, max_fused_batch=4, strided=True)
         cast_floats(m, jnp.bfloat16)
     nnx.update(m, jax.device_put(nnx.state(m), dev))
     g, s = nnx.split(m)

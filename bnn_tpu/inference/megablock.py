@@ -30,13 +30,17 @@ keeps large batches on the original ops. TPU programs are statically
 scheduled: there is no per-op launch overhead to save; fusion here is
 purely an HBM-traffic / MXU-shape / scheduling play.
 
-ROUND-3 UPDATE: with the phase-decomposed stem kernel + layer1 stage
-fusion in the pipeline, the crossover moved to B=1 — at B=2/4 the block
-kernels measured 2-3x SLOWER than XLA's unfused blocks in context
-(B=2: 101 vs 38-57 us; B=4: 216 vs 78-82 us whole-model), so
-``max_fused_batch`` now defaults to 1 throughout. The batch-2-8 regime is
-carried by the stem kernel alone; re-sweep (benchmarks/serving_sweep.py)
-when the surrounding pipeline changes.
+ROUND-3 MEASUREMENT WARNING (the degenerate-model trap, rediscovered the
+hard way): a ``zero_to_one=True`` model with post-act ReLU is DEGENERATE
+— ``sign(relu(x)) == +1`` everywhere, XLA range-simplifies the compare
+and folds the ENTIRE binary body to constants (compiled flops drop from
+3.77G to 0.46G), so unfused XLA timings on that config measure only the
+stem. A mid-round policy sweep on such a model wrongly concluded the
+kernels should be off; re-measured on honest configs (torch-parity
+ternary sign, or PReLU) full fusion wins at every small batch: B=1
+62 vs 236 us unfused, B=4 151 vs 342, B=8 ~tie, B=64 XLA (caps route
+there). Always check ``jit(f).lower(x).compile().cost_analysis()['flops']``
+before believing a binary-net benchmark.
 
 :class:`FusedBlock` dispatches at trace time on the actual input shape:
 the megakernel runs iff ``batch <= max_fused_batch`` AND ``fuse_when(n,
@@ -132,7 +136,7 @@ class FusedBlock(nnx.Module):
     large-batch path and for checkpoint round-trips.
     """
 
-    def __init__(self, block, *, max_fused_batch: int = 1,
+    def __init__(self, block, *, max_fused_batch: int = 4,
                  fuse_when=None, pre: bool = False,
                  taps_per_dot: int = 9, interpret: bool = False):
         self.block = block
@@ -178,7 +182,7 @@ class FusedDownBlock(nnx.Module):
     checkpoint round-trips.
     """
 
-    def __init__(self, block, *, max_fused_batch: int = 1,
+    def __init__(self, block, *, max_fused_batch: int = 4,
                  pre: bool = False, interpret: bool = False):
         self.block = block
         self.max_fused_batch = max_fused_batch
@@ -222,7 +226,7 @@ class FusedBottleneck(nnx.Module):
     path and for checkpoint round-trips.
     """
 
-    def __init__(self, block, *, max_fused_batch: int = 1,
+    def __init__(self, block, *, max_fused_batch: int = 4,
                  interpret: bool = False):
         self.block = block
         self.max_fused_batch = max_fused_batch
@@ -475,8 +479,8 @@ def _eligible_pre(block) -> bool:
     return True
 
 
-def fuse_blocks(model: nnx.Module, *, max_fused_batch: int = 1,
-                fuse_when=None, strided: bool = False,
+def fuse_blocks(model: nnx.Module, *, max_fused_batch: int = 4,
+                fuse_when=None, strided: bool = True,
                 taps_per_dot: int = 9, interpret: bool = False) -> int:
     """Replace eligible deployed BasicBlocks with FusedBlocks (in place).
 
@@ -487,13 +491,13 @@ def fuse_blocks(model: nnx.Module, *, max_fused_batch: int = 1,
     and ``fuse_when`` (see :class:`FusedBlock`); the default ``None``
     always fuses below the batch cap — measured fastest end to end.
 
-    ``strided=True`` additionally fuses stride-2 downsample blocks via
-    :class:`FusedDownBlock`. Default OFF: measured on v5e (binary
-    ResNet-18, stem+stride-1 blocks already fused) it is a net LOSS —
-    B=1 70.3us -> 78.1us, B=4 287 -> 307us — the 28x28x128-style
-    downsample shapes are exactly where XLA's int8 convs already run
-    near-roofline and the kernel's in-VMEM patch assembly floor loses.
-    Available for other chips/models where the tradeoff may differ.
+    ``strided=True`` (default ON since round 3) additionally fuses
+    stride-2 downsample blocks via :class:`FusedDownBlock`. The earlier
+    "net loss for post-act" measurement was taken on a degenerate
+    zero_to_one+ReLU model whose unfused downsamples XLA folded away (see
+    the module docstring warning); on honest configs the fused downs are
+    a large win (they carry most of the 236 -> 62us B=1 gap together with
+    the stage kernels).
     """
     fused = 0
     wrapped = []  # don't descend into fused blocks (their .block stays live)

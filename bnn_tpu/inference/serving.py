@@ -44,7 +44,7 @@ class Predictor:
                  weight_format: str = "int8", dtype=jnp.bfloat16,
                  use_pallas: bool = True, fold_bn: bool = True,
                  space_to_depth: bool = True, fuse: Optional[bool] = None,
-                 max_fused_batch: int = 1, mesh=None, batch_axis: str = "data",
+                 max_fused_batch: int = 4, mesh=None, batch_axis: str = "data",
                  tensor_parallel: bool = False, model_axis: str = "model",
                  binary_gemm_impl: str = "mxu",
                  quantize_float_bits: Optional[int] = None):
@@ -77,18 +77,19 @@ class Predictor:
             fuse = use_pallas
         if fuse:  # all dispatch per traced batch; no-op above the caps
             fuse_stem(model)
-            # Block/stage megakernels by BLOCK FAMILY (round-3 sweeps,
-            # benchmarks/serving_sweep.py): POST-act bodies now run fastest
-            # fully unfused behind the stem kernel (B=1 ~27us vs ~54us with
-            # block kernels — XLA schedules that graph near-perfectly and
-            # extra Pallas dispatches only hurt), while PRE-act bodies
-            # still need them (240us unfused vs ~66us fused).
-            from ..models.layers import PreBasicBlock
+            # Full fusion: whole-stage chain kernels at B=1, per-block
+            # megakernels (incl. strided) under the batch cap. Measured on
+            # honest (non-degenerate) configs — torch-parity ternary sign
+            # or PReLU — this wins at every small batch (B=1: 62 vs 236us
+            # unfused; B=4: 151 vs 342). CAUTION for benchmarkers: a
+            # zero_to_one=True model with post-act ReLU is DEGENERATE
+            # (sign(relu(x)) == +1 — XLA folds the whole binary body away
+            # and unfused timings measure nothing real; see
+            # ROADMAP "Measurement discipline").
             from .stages import fuse_stages
-            if any(isinstance(m, PreBasicBlock)
-                   for _, m in named_modules(model)):
-                fuse_stages(model, kinds=("pair",))
-                fuse_blocks(model, max_fused_batch=max_fused_batch)
+            fuse_stages(model)
+            fuse_blocks(model, max_fused_batch=max_fused_batch,
+                        strided=True)
         if dtype is not None:
             cast_floats(model, dtype)
         self.batch_size = batch_size
