@@ -176,8 +176,9 @@ def main():
         t_d = loop_time(lambda v: nnx.merge(gd, sd)(v), x16, iters=20,
                         rounds=rounds)
         log(f"deployed dabnn-stem: {t_d*1e3:.2f} ms/batch "
-            f"({batch/t_d:.0f} img/s) — the 7x7 fp32 stem bounds the "
-            f"basic config at B=64")
+            f"({batch/t_d:.0f} img/s) — the reference's efficient-stem "
+            f"option (honest ternary: a LOSS at B=64 on TPU; its extra "
+            f"binary 112^2 convs outweigh dropping the 7x7 fp32 stem)")
 
     imgs_per_s = batch / t_i8
     print(json.dumps({
