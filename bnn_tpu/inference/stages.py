@@ -5,19 +5,18 @@ deployed BasicBlocks) with ONE Pallas megakernel dispatch
 (kernels/model.py): a stride-1 pair (layer1) via :func:`fused_pair`, a
 downsample + stride-1 pair (layer2/3/4) via :func:`fused_down_stage`.
 
-Measured on v5e (B=1 binary ResNet-18, post-act, interleaved A/B,
-round 3): fusing ALL stages is a net LOSS (min 72 vs 66 us) — the
-downsample stage kernels inherit the strided-conv in-VMEM patch-assembly
-floor that already made the per-block FusedDownBlock lose post-act
-(megablock.fuse_blocks docstring) and two extra fused boundaries don't
-pay for it. Fusing only the PAIR stage (layer1, the widest feature map)
-wins: min 61.0 / med 68.7 vs min 66.4 / med 70.8 for per-block fusion —
-hence ``Predictor`` applies ``fuse_stages(kinds=("pair",))`` before
-``fuse_blocks`` and the down-stage kernels stay available via
-``kinds=("pair", "down")`` for chips/models where the tradeoff differs.
-(The per-prefix decomposition after this change: stem 30.8 us, layer1
-10.4, layer2 11.8, layer3 5.0, layer4 2.7, pool+fc 0.5 — the stem is now
-half the model; see kernels/stem.py for its analysis.)
+Measured on v5e (B=1 binary ResNet-18, HONEST ternary config — early
+round-3 policy numbers taken on the degenerate zero_to_one+ReLU model
+are void, see megablock.py's measurement warning): fusing ALL stages
+wins decisively — 62-63 us vs 159 with only the pair stage fused and
+236 fully unfused — so ``Predictor`` applies ``fuse_stages()`` (all
+kinds) before ``fuse_blocks``. Honest per-prefix decomposition of the
+63 us: stem 18.8, layer1 +8.3, layer2 +12.2, layer3 +12.0, layer4 +9.2,
+pool+fc +2.5. The remaining floor is structural: each stage kernel
+carries ~5 us of fixed dispatch cost, and stages cannot merge further
+because a mid-chain stride-2 block would need the in-kernel W-pair
+lane merge Mosaic rejects in every formulation probed (2-D and 3-D
+phase-slice concats both fail to compile).
 
 Apply after :func:`~bnn_tpu.inference.deploy` +
 :func:`~bnn_tpu.inference.optimize.optimize_deployed`, before
