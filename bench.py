@@ -81,7 +81,9 @@ def main():
         contain the binary body's FLOPs."""
         try:
             fl = jax.jit(fn).lower(xe).compile().cost_analysis()["flops"]
-        except Exception:
+        except Exception as e:  # guard must never silently vanish
+            log(f"WARNING: degenerate-model guard could not run "
+                f"(cost_analysis failed: {e}); timings unverified")
             return
         scale = xe.shape[0]
         assert fl >= min_gflops * 1e9 * scale / 64, (

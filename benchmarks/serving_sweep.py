@@ -83,8 +83,7 @@ def main():
         xd = jax.device_put(x, dev)
         iters = max(400 // b, 30)
         t0 = time.time()
-        t = min(loop_time(fn, xd, iters=iters, rounds=2),
-                loop_time(fn, xd, iters=iters, rounds=2))
+        t = loop_time(fn, xd, iters=iters, rounds=4)
         print(f"{b:>6} {t*1e6:>10.1f}us {t/b*1e6:>8.1f}us {b/t:>9.0f}"
               f"   [{time.time()-t0:.0f}s]", flush=True)
 

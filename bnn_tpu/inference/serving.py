@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from ..binarize import named_modules
 from ..utils.precision import cast_floats
 from .deploy import deploy
 from .megablock import fuse_blocks

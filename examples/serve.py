@@ -49,8 +49,10 @@ def build_model(num_classes: int) -> nnx.Module:
     return prepare_binary_model(
         model,
         bconfig=BConfig(
-            activation_pre_process=BasicInputBinarizer.with_args(
-                zero_to_one=True),
+            # torch-parity ternary sign: zero_to_one + post-act ReLU would
+            # be a degenerate constant-activation model (megablock.py's
+            # measurement warning)
+            activation_pre_process=BasicInputBinarizer,
             activation_post_process=BasicScaleBinarizer,
             weight_pre_process=XNORWeightBinarizer,
         ),

@@ -169,11 +169,15 @@ class TestFusedDownBlockPass:
         np.testing.assert_allclose(dep(x_odd), dep2(x_odd),
                                    rtol=1e-6, atol=1e-6)
 
-    def test_strided_off_by_default(self):
+    def test_strided_on_by_default(self):
+        # default ON since round 3 (the earlier post-act "net loss" was
+        # measured on a degenerate foldable model — megablock.py warning);
+        # strided=False still opts out
         dep = self._deployed()
         optimize_deployed(dep)
-        assert fuse_blocks(dep, interpret=True) == 0
+        assert fuse_blocks(dep, strided=False, interpret=True) == 0
         assert isinstance(dep[0], BasicBlock)
+        assert fuse_blocks(dep, interpret=True) == 1
 
     def test_idempotent(self):
         dep = self._deployed()
@@ -215,9 +219,9 @@ class TestFusedDownBlockPass:
 
 
 class TestPreActDownBlockPass:
-    """Pre-activation downsample blocks fuse BY DEFAULT (measured 2.1x at
-    B=1 on v5e — unlike post-act, where XLA's unfused path wins and
-    strided=True is required)."""
+    """Pre-activation downsample blocks fuse by default (as do post-act
+    ones since round 3 — megablock.py's measurement warning explains the
+    earlier post-act opt-out)."""
 
     def _deployed(self, ci=8, co=16):
         from bnn_tpu.models.layers import PreBasicBlock
