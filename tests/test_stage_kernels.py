@@ -85,8 +85,10 @@ class TestStageKernels:
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+# torch-parity ternary: exercises the {-1, 0, +1} sign path through the
+# whole net (a zero_to_one+ReLU net has constant +1 activations)
 BC = BConfig(
-    activation_pre_process=BasicInputBinarizer.with_args(zero_to_one=True),
+    activation_pre_process=BasicInputBinarizer,
     activation_post_process=BasicScaleBinarizer,
     weight_pre_process=XNORWeightBinarizer,
 )
