@@ -8,7 +8,7 @@ from .compress import (
     state_bytes,
 )
 from .stem import FusedStem, SpaceToDepthConv, fuse_stem, space_to_depth_stem
-from .stages import FusedStage, fuse_stages
+from .stages import FusedStage, fuse_head, fuse_stages
 from .deploy import (
     DeployedConv,
     DeployedLinear,
@@ -30,6 +30,7 @@ __all__ = [
     "default_fuse_predicate",
     "fuse_blocks",
     "fuse_stages",
+    "fuse_head",
     "optimize_deployed",
     "fold_bn_after",
     "fold_bn_before",

@@ -85,10 +85,13 @@ class Predictor:
             # (sign(relu(x)) == +1 — XLA folds the whole binary body away
             # and unfused timings measure nothing real; see
             # ROADMAP "Measurement discipline").
-            from .stages import fuse_stages
+            from .stages import fuse_head, fuse_stages
             fuse_stages(model)
             fuse_blocks(model, max_fused_batch=max_fused_batch,
                         strided=True)
+            # classifier avgpool + float fc fold into the last stage's
+            # kernel (skipped automatically for quantized heads)
+            fuse_head(model)
         if dtype is not None:
             cast_floats(model, dtype)
         self.batch_size = batch_size

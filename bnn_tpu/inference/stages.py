@@ -41,7 +41,7 @@ from .megablock import (
     _eligible_pre,
 )
 
-__all__ = ["FusedStage", "fuse_stages"]
+__all__ = ["FusedStage", "fuse_stages", "fuse_head"]
 
 
 def _thr(conv):
@@ -112,6 +112,19 @@ class FusedStage(nnx.Module):
         b0 = stage[0]
         self._acts = (_act_kind(b0.act1)[0], _act_kind(b0.act2)[0])
         self._z21 = getattr(b0.conv1, "zero_to_one", False)
+        # optional fused classifier head (attach_head)
+        self._head = nnx.data(None)
+        self._wfc = nnx.data(None)
+        self._bfc = nnx.data(None)
+
+    def attach_head(self, avgpool, fc) -> None:
+        """Fuse the trailing global-avgpool + float fc into this stage's
+        kernel (the last residual stage of a classifier). The original
+        modules are kept for the above-cap fallback path."""
+        self._head = nnx.data([avgpool, fc])
+        self._wfc = nnx.data(nnx.Variable(fc.kernel[...]))
+        self._bfc = nnx.data(nnx.Variable(fc.bias[...])
+                             if fc.bias is not None else None)
 
     def _params(self):
         return [BlockParams.from_arrays(meta, [v[...] for v in vs])
@@ -122,7 +135,17 @@ class FusedStage(nnx.Module):
         if n > self.max_fused_batch or h % 2 or w % 2:
             # fallback Sequential: blocks may themselves be FusedBlock
             # megakernels (fuse_blocks runs after fuse_stages)
-            return self.stage(x)
+            y = self.stage(x)
+            if self._head is not None:
+                avgpool, fc = self._head
+                y = fc(avgpool(y).reshape(y.shape[0], -1))
+            return y
+        if self._head is not None:
+            return fused_chain(
+                x, self._params(), self._wfc[...],
+                self._bfc[...] if self._bfc is not None else None,
+                act=self._acts, pre=self.pre, zero_to_one=self._z21,
+                interpret=self.interpret)
         return fused_chain(
             x, self._params(),
             act=self._acts, pre=self.pre, zero_to_one=self._z21,
@@ -202,5 +225,39 @@ def fuse_stages(model: nnx.Module, *, max_fused_batch: int = 1,
             m, kind=kind.replace("pre-", ""), pre=pre,
             max_fused_batch=max_fused_batch, interpret=interpret))
         done.append(name + ".")
+        fused += 1
+    return fused
+
+
+def fuse_head(model: nnx.Module) -> int:
+    """Fuse a classifier's global-avgpool + float fc into the preceding
+    :class:`FusedStage`'s kernel (in place).
+
+    Applies to the ResNet-style tail ``layer4 -> AdaptiveAvgPool2d(1) ->
+    Flatten-equivalent -> float Linear`` after :func:`fuse_stages`. The
+    model's ``avgpool``/``fc`` are replaced with identities; the stage
+    kernel emits logits directly (and its fallback applies the originals).
+    Skipped when the head is not a plain float Linear (e.g. after
+    ``quantize_float_layers``). Returns the number of heads fused.
+    """
+    from ..models.resnet import ResNet
+
+    fused = 0
+    for _, m in named_modules(model):
+        if not isinstance(m, ResNet):
+            continue
+        stage = getattr(m, "layer4", None)
+        if not isinstance(stage, FusedStage) or stage._head is not None:
+            continue
+        if not isinstance(m.avgpool, nn.AdaptiveAvgPool2d):
+            continue
+        out_size = getattr(m.avgpool, "output_size", 1)
+        if out_size not in (1, (1, 1)):
+            continue
+        if type(m.fc) is not nn.Linear:
+            continue
+        stage.attach_head(m.avgpool, m.fc)
+        m.avgpool = nn.Identity()
+        m.fc = nn.Identity()
         fused += 1
     return fused

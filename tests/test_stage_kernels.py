@@ -202,3 +202,26 @@ def test_stage_fallback_keeps_block_megakernels():
     np.testing.assert_array_equal(dep(xb), expected)   # B=2: fallback path
     x1 = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
     np.testing.assert_array_equal(dep(x1), ref(x1))    # B=1: chain kernel
+
+
+def test_fuse_head_into_last_stage():
+    """The classifier avgpool + float fc fold into layer4's chain kernel;
+    the fallback path still applies the original head modules."""
+    from bnn_tpu import nn as bnn
+    from bnn_tpu.inference import fuse_head
+
+    ref = _deployed_resnet18()
+    x1 = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
+    xb = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+    exp1, expb = ref(x1), ref(xb)
+
+    dep = _deployed_resnet18()
+    fuse_stages(dep, interpret=True)
+    assert fuse_head(dep) == 1
+    assert isinstance(dep.avgpool, bnn.Identity)
+    assert isinstance(dep.fc, bnn.Identity)
+    assert dep.layer4._head is not None
+    np.testing.assert_allclose(dep(x1), exp1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dep(xb), expb, rtol=1e-5, atol=1e-5)  # fallback
+    # idempotent / no double-fuse
+    assert fuse_head(dep) == 0
