@@ -149,14 +149,15 @@ def main():
     # (phase-decomposed stem + whole-stage chain kernels + per-block
     # megakernels) — measured fastest on honest configs at every small
     # batch (inference/megablock.py docstring)
-    from bnn_tpu.inference import (fuse_blocks, fuse_stages, fuse_stem,
-                                   optimize_deployed)
+    from bnn_tpu.inference import (fuse_blocks, fuse_head, fuse_stages,
+                                   fuse_stem, optimize_deployed)
     dep_s = deploy(build(), use_pallas=on_tpu, weight_format="int8")
     optimize_deployed(dep_s)
     if on_tpu:
         fuse_stem(dep_s)
         fuse_stages(dep_s)
         fuse_blocks(dep_s, max_fused_batch=4, strided=True)
+        fuse_head(dep_s)
     cast_floats(dep_s, jnp.bfloat16)
     to_bench_device(dep_s)
     gs, ss = nnx.split(dep_s)

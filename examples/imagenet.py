@@ -83,6 +83,14 @@ def parse_args():
                    help="override synthetic epoch length")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="size of the tensor-parallel mesh axis")
+    p.add_argument("--pipeline", type=int, default=1,
+                   help="pipeline-parallel stages (GPipe over a 'pipe' "
+                        "mesh axis via HeteroPipeline; 1 = off). "
+                        "Composes with data parallelism on the remaining "
+                        "devices; incompatible with --model-parallel/"
+                        "--zero1/--accum-steps/--resume in this trainer")
+    p.add_argument("--microbatches", type=int, default=4,
+                   help="GPipe microbatches per step (with --pipeline)")
     p.add_argument("--accum-steps", type=int, default=1,
                    help="gradient-accumulation microbatches per step")
     p.add_argument("--zero1", action="store_true",
@@ -144,6 +152,99 @@ def npy_batches(data_dir, split, batch, shuffle, seed=0):
         yield np.asarray(xs[sel], np.float32), ys[sel].astype(np.int32)
 
 
+def resnet_pipeline_stages(model, n: int):
+    """Split a (binarized) ResNet into ``n`` contiguous pipeline stages.
+
+    Natural units: stem, layer1..4, head. The stage Sequentials WRAP the
+    model's own submodules (shared parameters), so updating the stages
+    updates the model."""
+    units = [nn.Sequential(model.conv1, model.bn1, nn.ReLU(), model.maxpool)
+             if model.stem_type == "basic" else nn.Sequential(model.conv1)]
+    for i in (1, 2, 3, 4):
+        units.append(getattr(model, f"layer{i}"))
+    units.append(nn.Sequential(model.avgpool, nn.Flatten(), model.fc))
+    assert 1 < n <= len(units), (n, len(units))
+    groups = np.array_split(np.arange(len(units)), n)
+    return [nn.Sequential(*[units[i] for i in g]) for g in groups]
+
+
+def train_pipelined(args, model, chef, is_host0):
+    """GPipe pipeline-parallel training over a (pipe, data) mesh.
+
+    The reference has no pipeline parallelism of any kind (SURVEY §2.3);
+    this path trains on HeteroPipeline's flat parameter buffer directly
+    (elementwise optimizers are exactly the per-leaf update) and carries
+    BN running stats through the schedule (return_state=True)."""
+    import optax
+    from bnn_tpu.parallel import HeteroPipeline, make_pipeline_mesh
+
+    n_dev = jax.device_count()
+    assert n_dev % args.pipeline == 0, (n_dev, args.pipeline)
+    mesh = make_pipeline_mesh(pipe=args.pipeline,
+                              data=n_dev // args.pipeline)
+    if is_host0:
+        print(f"==> pipeline mesh {dict(mesh.shape)} over {n_dev} devices")
+
+    model.train()
+    stages = resnet_pipeline_stages(model, args.pipeline)
+    pipe = HeteroPipeline(
+        stages, x_shape=(args.image_size, args.image_size, 3), mesh=mesh)
+
+    steps_per_epoch = args.steps_per_epoch or 256
+    if args.epochs is None:
+        args.epochs = chef.epochs(args.step) or 90
+    try:
+        tx = chef.make_tx(args.step, steps_per_epoch)
+    except RecipeError:
+        tx = make_optimizer(args, make_scheduler(args, steps_per_epoch))
+
+    flat = pipe.flat_params
+    opt_state = tx.init(flat)
+    assert args.batch_size % args.microbatches == 0
+
+    @jax.jit
+    def step(flat, opt_state, x, y):
+        def loss_fn(f):
+            logits, new_flat = pipe.apply(
+                f, x, n_microbatches=args.microbatches, return_state=True)
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+            return loss, (new_flat, logits)
+
+        (loss, (new_flat, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(flat)
+        upd, opt_state = tx.update(grads, opt_state, new_flat)
+        top1 = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+        return optax.apply_updates(new_flat, upd), opt_state, loss, top1
+
+    for epoch in range(args.epochs):
+        losses = AverageMeter("Loss", ":.4e")
+        top1m = AverageMeter("Acc@1", ":6.2f")
+        it = synthetic_batches(args.batch_size, steps_per_epoch,
+                               seed=args.seed + epoch, size=args.image_size)
+        for i, (xb, yb) in enumerate(it):
+            flat, opt_state, loss, top1 = step(
+                flat, opt_state, jnp.asarray(xb), jnp.asarray(yb))
+            losses.update(float(loss), len(yb))
+            top1m.update(float(top1) * 100.0, len(yb))
+            if is_host0 and i % args.print_freq == 0:
+                print(f"PipeEpoch[{epoch}][{i}/{steps_per_epoch}] "
+                      f"{losses} {top1m}")
+        if is_host0:
+            print(f" * PipeEpoch {epoch}: Loss {losses.avg:.4f} "
+                  f"Acc@1 {top1m.avg:.3f}")
+
+    # write trained params + stats back into the shared model modules and
+    # checkpoint the ordinary way
+    for st_mod, st in zip(stages, pipe.unflatten_stage_states(flat)):
+        nnx.update(st_mod, st)
+    if is_host0:
+        save_checkpoint(args.out, model,
+                        metadata={"epoch": args.epochs, "arch": args.arch,
+                                  "step": args.step, "pipeline": args.pipeline})
+        print(f"==> pipelined training done; checkpoint at {args.out}")
+
+
 def main():
     args = parse_args()
 
@@ -157,10 +258,6 @@ def main():
         )
     is_host0 = jax.process_index() == 0
 
-    mesh = make_mesh(model=args.model_parallel)
-    if is_host0:
-        print(f"==> mesh {dict(mesh.shape)} over {jax.device_count()} devices")
-
     model_fn = getattr(models, args.arch)
     model = model_fn(block_type=PreBasicBlock, activation=nn.PReLU,
                      stem_type=args.stem_type, rngs=nnx.Rngs(args.seed))
@@ -168,6 +265,17 @@ def main():
     model = chef.run_step(model, args.step)
     if is_host0:
         print(f"==> {args.arch} binarized with step {args.step} of {args.recipe}")
+
+    if args.pipeline > 1:
+        # pipeline-parallel training path (GPipe over a 'pipe' axis)
+        assert args.model_parallel == 1 and not args.zero1 \
+            and args.accum_steps == 1 and not args.resume, \
+            "--pipeline composes with data parallelism only in this trainer"
+        return train_pipelined(args, model, chef, is_host0)
+
+    mesh = make_mesh(model=args.model_parallel)
+    if is_host0:
+        print(f"==> mesh {dict(mesh.shape)} over {jax.device_count()} devices")
 
     steps_per_epoch = args.steps_per_epoch or 256
     train_loader = val_loader = None

@@ -107,3 +107,18 @@ def test_serve_example_tensor_parallel(monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "tensor-sharded over 4 chips" in out
     assert "request 1:" in out
+
+
+@pytest.mark.slow
+def test_imagenet_pipeline_parallel(tmp_path, monkeypatch, capsys):
+    """--pipeline N trains over a (pipe, data) mesh via HeteroPipeline and
+    checkpoints the reassembled model."""
+    _run("examples/imagenet.py",
+         ["--synthetic", "--epochs", "1", "--batch-size", "16",
+          "--step", "0", "--image-size", "32", "--steps-per-epoch", "2",
+          "--print-freq", "1", "--pipeline", "4", "--microbatches", "2",
+          "--out", str(tmp_path / "inet")], monkeypatch)
+    out = capsys.readouterr().out
+    assert "pipeline mesh" in out
+    assert "PipeEpoch" in out
+    assert "checkpoint at" in out
