@@ -178,6 +178,9 @@ def train_pipelined(args, model, chef, is_host0):
     import optax
     from bnn_tpu.parallel import HeteroPipeline, make_pipeline_mesh
 
+    assert not args.data, \
+        "--pipeline currently trains on synthetic data only (use the " \
+        "DP/TP path for dataset runs)"
     n_dev = jax.device_count()
     assert n_dev % args.pipeline == 0, (n_dev, args.pipeline)
     mesh = make_pipeline_mesh(pipe=args.pipeline,
