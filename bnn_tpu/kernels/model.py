@@ -222,34 +222,40 @@ def _chain_kernel(*refs, plan, acts, pre, z21, ci, with_head):
 
     ``refs``: x, then per-block param refs in plan order (3 per basic,
     5 per down), then (wfc, bfc) if ``with_head``, then the output ref.
+    Small batches are unrolled per image (sequential bodies keep the
+    per-image VMEM peak; the weights load once for all images).
     """
-    x_ref, refs = refs[0], list(refs[1:])
-    out_ref = refs.pop()
-    a = x_ref[...].reshape(x_ref.shape[1:]).astype(jnp.float32)
-    cin = ci
-    for kind in plan:
-        if kind == "basic":
-            w1, w2, prm = refs[:3]
-            refs = refs[3:]
-            a = _basic_body(a, w1[...], w2[...], prm[...],
-                            act1=acts[0], act2=acts[1], pre=pre, z21=z21)
-        else:
-            w1, w2, wd, po, pi = refs[:5]
-            refs = refs[5:]
-            a = _down_body(a, w1[...], w2[...], wd[...], po[...], pi[...],
-                           act1=acts[0], act2=acts[1], pre=pre, z21=z21,
-                           ci=cin)
-            cin = wd.shape[-1]
-    if not with_head:
-        out_ref[...] = a[None].astype(out_ref.dtype)
-        return
-    wfc, bfc = refs
-    h, w, c = a.shape
-    pooled = jnp.mean(a.reshape(h * w, c), axis=0, keepdims=True)  # (1, C)
-    logits = lax.dot_general(pooled, wfc[...].astype(jnp.float32),
-                             dimension_numbers=(((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    out_ref[...] = (logits + bfc[...]).astype(out_ref.dtype)
+    x_ref, all_refs = refs[0], list(refs[1:])
+    out_ref = all_refs.pop()
+    n = x_ref.shape[0]
+    for b in range(n):
+        refs = list(all_refs)
+        a = x_ref[...][b].astype(jnp.float32)
+        cin = ci
+        for kind in plan:
+            if kind == "basic":
+                w1, w2, prm = refs[:3]
+                refs = refs[3:]
+                a = _basic_body(a, w1[...], w2[...], prm[...],
+                                act1=acts[0], act2=acts[1], pre=pre,
+                                z21=z21)
+            else:
+                w1, w2, wd, po, pi = refs[:5]
+                refs = refs[5:]
+                a = _down_body(a, w1[...], w2[...], wd[...], po[...],
+                               pi[...], act1=acts[0], act2=acts[1],
+                               pre=pre, z21=z21, ci=cin)
+                cin = wd.shape[-1]
+        if not with_head:
+            out_ref[b] = a.astype(out_ref.dtype)
+            continue
+        wfc, bfc = refs
+        h, w, c = a.shape
+        pooled = jnp.mean(a.reshape(h * w, c), axis=0, keepdims=True)
+        logits = lax.dot_general(pooled, wfc[...].astype(jnp.float32),
+                                 dimension_numbers=(((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        out_ref[b] = (logits + bfc[...]).astype(out_ref.dtype)[0]
 
 
 def fused_chain(
@@ -277,14 +283,15 @@ def fused_chain(
     assert all(k == "basic" for k in plan[1:]), (
         "only a LEADING down block is supported (in-kernel W-merge is not)")
     n, h, w, ci = x.shape
-    assert n == 1, "stage megakernels are B=1 serving kernels"
+    assert n <= 8, ("stage megakernels unroll images in-kernel; "
+                    f"batch {n} > 8 should use the per-block/XLA paths")
     act1, act2 = (act, act) if isinstance(act, str) else act
     assert act1 in _ACTS and act2 in _ACTS
 
     args = [x]
     if plan[0] == "down":
         assert h % 2 == 0 and w % 2 == 0, (h, w)
-        args = [x.reshape(1, h, w // 2, 2 * ci)]  # W-pair merge (free)
+        args = [x.reshape(n, h, w // 2, 2 * ci)]  # W-pair merge (free)
         oh, ow = h // 2, w // 2
     else:
         oh, ow = h, w
@@ -300,10 +307,10 @@ def fused_chain(
         bfc = (jnp.zeros((classes,), jnp.float32) if bfc is None
                else bfc).astype(jnp.float32).reshape(1, classes)
         args += [wfc, bfc]
-        out_shape = (1, classes)
+        out_shape = (n, classes)
         out_dtype = jnp.float32 if out_dtype is None else out_dtype
     else:
-        out_shape = (1, oh, ow, co)
+        out_shape = (n, oh, ow, co)
         out_dtype = x.dtype if out_dtype is None else out_dtype
 
     return pl.pallas_call(

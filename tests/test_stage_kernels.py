@@ -133,12 +133,21 @@ class TestFuseStagesPass:
         assert nb >= 3
         np.testing.assert_array_equal(dep(x), expected)
 
+    def test_small_batch_uses_kernel_bit_exact(self):
+        """B=2 <= the default cap runs the in-kernel image unroll."""
+        ref = _deployed_resnet18()
+        xb = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+        expected = ref(xb)
+        dep = _deployed_resnet18()
+        fuse_stages(dep, interpret=True)
+        np.testing.assert_array_equal(dep(xb), expected)
+
     def test_large_batch_falls_back(self):
         ref = _deployed_resnet18()
         xb = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
         expected = ref(xb)
         dep = _deployed_resnet18()
-        fuse_stages(dep, interpret=True)  # cap is 1; B=2 must fall back
+        fuse_stages(dep, max_fused_batch=1, interpret=True)
         np.testing.assert_array_equal(dep(xb), expected)
 
 
@@ -193,7 +202,7 @@ def test_stage_fallback_keeps_block_megakernels():
     expected = ref(xb)
 
     dep = _deployed_resnet18()
-    fuse_stages(dep, kinds=("pair",), interpret=True)
+    fuse_stages(dep, kinds=("pair",), max_fused_batch=1, interpret=True)
     fuse_blocks(dep, max_fused_batch=4, interpret=True)
     assert isinstance(dep.layer1, FusedStage)
     # the stage's fallback Sequential now holds per-block megakernels
