@@ -105,16 +105,25 @@ class Conv2d(_ConvNd):
 class BatchNorm2d(nnx.BatchNorm):
     """Channels-last batch norm with torch hyperparameters (momentum 0.1,
     eps 1e-5). Works for any rank with channels last, so it also covers the
-    1-D case."""
+    1-D case.
+
+    ``use_fast_variance=False`` (unlike the flax default): the one-pass
+    E[x^2]-E[x]^2 form loses ~1e-4 relative accuracy in fp32 to
+    cancellation, which the sign() binarizers downstream amplify into
+    activation-bit flips — the two-pass form keeps train-mode forwards
+    aligned with the torch reference (measured in
+    tests/test_reference_parity.py)."""
 
     def __init__(self, num_features: int, eps: float = 1e-5, momentum: float = 0.1,
-                 affine: bool = True, *, rngs: nnx.Rngs):
+                 affine: bool = True, use_fast_variance: bool = False,
+                 *, rngs: nnx.Rngs):
         super().__init__(
             num_features,
             epsilon=eps,
             momentum=1.0 - momentum,
             use_bias=affine,
             use_scale=affine,
+            use_fast_variance=use_fast_variance,
             rngs=rngs,
         )
 

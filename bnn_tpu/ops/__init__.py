@@ -1,5 +1,6 @@
-from .ste import (SignActivation, SignActivationStochastic, sign, sign_ste,
-                  sign_pm1_ste, stochastic_sign_ste, tanh_surrogate_sign)
+from .ste import (SURROGATES, SignActivation, SignActivationStochastic, sign,
+                  sign_ste, sign_pm1_ste, stochastic_sign_ste, surrogate_sign,
+                  tanh_surrogate_sign)
 from .registry import register, resolve, registered_names
 from .binarizers import (
     BinarizerBase,
@@ -17,6 +18,8 @@ __all__ = [
     "sign_ste",
     "sign_pm1_ste",
     "stochastic_sign_ste",
+    "surrogate_sign",
+    "SURROGATES",
     "tanh_surrogate_sign",
     "SignActivation",
     "SignActivationStochastic",

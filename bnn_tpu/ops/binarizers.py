@@ -22,7 +22,8 @@ from flax import nnx
 
 from .. import functional as F
 from .registry import register
-from .ste import sign_pm1_ste, sign_ste, stochastic_sign_ste, tanh_surrogate_sign
+from .ste import (resolve_surrogate, sign_pm1_ste, sign_ste,
+                  stochastic_sign_ste, surrogate_sign)
 
 __all__ = [
     "BinarizerBase",
@@ -118,17 +119,23 @@ class StochasticInputBinarizer(BinarizerBase):
 
 @register
 class AdvancedInputBinarizer(BinarizerBase):
-    """Sign forward with a tanh(t*x) surrogate gradient.
+    """Sign forward with a pluggable soft surrogate gradient.
 
     Reference: bnn/ops.py:167-177 (implemented with the documented intent;
-    see :func:`bnn_tpu.ops.ste.tanh_surrogate_sign` for the deviation note).
+    see :func:`bnn_tpu.ops.ste.surrogate_sign` for the deviation note).
+    ``derivative_funct`` mirrors the reference's constructor knob
+    (bnn/ops.py:168-171): any odd squashing callable, or one of the
+    registry names in :data:`bnn_tpu.ops.ste.SURROGATES` ("tanh", "erf",
+    "softsign", "hardtanh", "sin") so recipes can declare it as a string:
+    ``name: AdvancedInputBinarizer, args: {derivative_funct: erf, t: 3}``.
     """
 
-    def __init__(self, t: float = 5.0):
+    def __init__(self, derivative_funct="tanh", t: float = 5.0):
+        self.derivative_funct = resolve_surrogate(derivative_funct)
         self.t = t
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        return tanh_surrogate_sign(x, self.t)
+        return surrogate_sign(x, self.derivative_funct, self.t)
 
 
 @register
@@ -204,6 +211,14 @@ class XNORScaleBinarizer(BinarizerBase):
     """
 
     def __init__(self, module: nnx.Module):
+        if not hasattr(module, "kernel_size"):
+            # the spatial scale K is defined by a conv's receptive field;
+            # there is no sensible K for a Linear (the reference is equally
+            # conv-only but dies with an opaque AttributeError)
+            raise TypeError(
+                "XNORScaleBinarizer only applies to conv layers (needs "
+                f"kernel_size/stride/padding); got {type(module).__name__}. "
+                "Use BasicScaleBinarizer for dense layers.")
         self.kernel_size = tuple(module.kernel_size)
         self.stride = module.stride
         self.padding = module.padding

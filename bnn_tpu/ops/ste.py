@@ -15,6 +15,9 @@ __all__ = [
     "sign_ste",
     "sign_pm1_ste",
     "stochastic_sign_ste",
+    "surrogate_sign",
+    "resolve_surrogate",
+    "SURROGATES",
     "tanh_surrogate_sign",
     "SignActivation",
     "SignActivationStochastic",
@@ -127,14 +130,47 @@ class SignActivationStochastic:
         return stochastic_sign_ste(x, key)
 
 
-def tanh_surrogate_sign(x: jax.Array, t: float = 5.0) -> jax.Array:
-    """sign(x) forward with d/dx tanh(t*x) surrogate gradient.
+# named surrogate functions for recipe/YAML resolution (the reference takes
+# an arbitrary ``derivative_funct`` callable, bnn/ops.py:168-171; strings
+# make the same knob declarable in recipes without eval)
+SURROGATES = {
+    "tanh": jnp.tanh,
+    "erf": jax.scipy.special.erf,
+    "softsign": lambda x: x / (1.0 + jnp.abs(x)),
+    "hardtanh": lambda x: jnp.clip(x, -1.0, 1.0),
+    "sin": lambda x: jnp.sin(jnp.clip(x, -jnp.pi / 2, jnp.pi / 2)),
+}
+
+
+def resolve_surrogate(funct):
+    """A surrogate spec (callable or name in :data:`SURROGATES`) -> callable."""
+    if callable(funct):
+        return funct
+    try:
+        return SURROGATES[funct]
+    except KeyError:
+        raise ValueError(
+            f"unknown surrogate {funct!r}; known names: "
+            f"{sorted(SURROGATES)} (or pass any callable)") from None
+
+
+def surrogate_sign(x: jax.Array, funct="tanh", t: float = 5.0) -> jax.Array:
+    """sign(x) forward with d/dx funct(t*x) surrogate gradient.
 
     Intended semantics of the reference's ``AdvancedInputBinarizer``
-    (bnn/ops.py:167-177). NOTE: the reference's implementation re-binds ``x``
-    under ``torch.no_grad`` and therefore accidentally detaches the output
-    from the graph entirely; we implement the documented intent (gradients
-    flow through the tanh surrogate) rather than replicating that bug.
+    (bnn/ops.py:167-177), with the reference's pluggable ``derivative_funct``
+    generalized to any odd squashing function — by name (see
+    :data:`SURROGATES`) or as a callable. NOTE: the reference's
+    implementation re-binds ``x`` under ``torch.no_grad`` and therefore
+    accidentally detaches the output from the graph entirely; we implement
+    the documented intent (gradients flow through the surrogate) rather than
+    replicating that bug.
     """
-    y = jnp.tanh(x * t)
+    y = resolve_surrogate(funct)(x * t)
     return y + jax.lax.stop_gradient(jnp.sign(y) - y)
+
+
+def tanh_surrogate_sign(x: jax.Array, t: float = 5.0) -> jax.Array:
+    """sign(x) forward with d/dx tanh(t*x) surrogate gradient (the
+    reference's default ``derivative_funct``; see :func:`surrogate_sign`)."""
+    return surrogate_sign(x, jnp.tanh, t)

@@ -76,15 +76,41 @@ class _StorageRef:
 
 def _rebuild_tensor(storage: _StorageRef, storage_offset, size, stride, *args):
     """Stand-in for ``torch._utils._rebuild_tensor_v2``: materialize a
-    numpy array from (storage, offset, size, stride)."""
+    numpy array from (storage, offset, size, stride).
+
+    The (offset, size, stride) triple comes straight from the (untrusted)
+    pickle, and ``as_strided`` would happily read outside the storage
+    buffer — so every extent is bounds-checked against the actual blob
+    before the view is taken."""
     flat = storage.asarray()
+    storage_offset = int(storage_offset)
     size = tuple(int(s) for s in size)
     stride = tuple(int(s) for s in stride)
+    if storage_offset < 0 or storage_offset >= max(flat.size, 1):
+        raise pickle.UnpicklingError(
+            f"tensor storage_offset {storage_offset} outside storage "
+            f"of {flat.size} elements")
     if not size:
-        return flat[int(storage_offset)].copy()
+        if flat.size == 0:
+            raise pickle.UnpicklingError("0-d tensor over empty storage")
+        return flat[storage_offset].copy()
+    if len(stride) != len(size) or any(s < 0 for s in size):
+        raise pickle.UnpicklingError(
+            f"malformed tensor geometry size={size} stride={stride}")
+    if any(s < 0 for s in stride):
+        raise pickle.UnpicklingError(
+            f"negative strides not allowed in a checkpoint: {stride}")
+    if 0 not in size:
+        last = storage_offset + sum(
+            (n - 1) * s for n, s in zip(size, stride))
+        if last >= flat.size:
+            raise pickle.UnpicklingError(
+                f"tensor extent (offset {storage_offset}, size {size}, "
+                f"stride {stride}) reads element {last} past storage "
+                f"of {flat.size} elements")
     itemsize = flat.dtype.itemsize
     view = np.lib.stride_tricks.as_strided(
-        flat[int(storage_offset):],
+        flat[storage_offset:],
         shape=size,
         strides=tuple(s * itemsize for s in stride),
     )
@@ -216,8 +242,15 @@ def _to_ours(t: np.ndarray, leaf: str, target_shape: Tuple[int, ...]):
         elif t.ndim == 2:    # linear (O, I) -> (I, O)
             t = t.T
     if t.shape != tuple(target_shape):
-        if t.size == int(np.prod(target_shape)):
-            t = t.reshape(target_shape)  # e.g. alpha [1,C,1,1] -> (C,)
+        # The reshape fallback exists ONLY for broadcast-shaped binarizer
+        # leaves (reference keeps alpha as [1, C, 1, 1], bnn/ops.py:180-205;
+        # ours is (C,)). A size-matched but differently-shaped *kernel*
+        # (e.g. an asymmetric (3,1) vs (1,3) conv) must NOT be silently
+        # scrambled — report it as missing instead.
+        squeezable = tuple(d for d in t.shape if d != 1) == tuple(
+            d for d in target_shape if d != 1)
+        if squeezable and (len(target_shape) <= 1 or leaf == "alpha"):
+            t = t.reshape(target_shape)
         else:
             return None
     return t

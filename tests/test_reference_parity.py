@@ -1,0 +1,225 @@
+"""Cross-framework parity vs the ACTUAL torch reference (VERDICT r3 #1).
+
+These tests import and execute the reference framework from
+/root/reference side by side with bnn_tpu. Weights always cross through a
+real ``torch.save`` checkpoint + the no-torch importer, so every test also
+re-proves the reference-checkpoint import path. Helpers live in
+benchmarks/parity_vs_reference.py (also a standalone CLI report).
+
+Five parity families (ref anchors: bnn/binarize.py:129-141,
+bnn/engine.py:51-79, bnn/ops.py:51-140, examples/cifar10.py:63-123):
+
+a. full-model forward equivalence, eval AND train mode, all runnable block
+   families / stems / binarizer configs;
+b. gradient equivalence (STE, XNOR alpha, learnable scale) for layers and
+   whole blocks;
+c. BinaryChef equivalence on the reference's OWN test.yaml;
+d. same-data same-init training-curve equivalence (fp32 config exact;
+   binary configs statistical — sign() makes trajectories chaotic, see the
+   harness docstring);
+e. real reference-produced .pth import -> identical logits (implicit in
+   every make_pair, asserted explicitly once).
+"""
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/bnn"),
+    reason="reference repo not present")
+
+from benchmarks.parity_vs_reference import (  # noqa: E402
+    REFERENCE_PATH,
+    build_our_model,
+    build_ref_model,
+    compare_chefs,
+    forward_diff,
+    grad_diffs,
+    load_reference,
+    make_pair,
+    train_curves,
+    transfer_weights,
+)
+
+# fp32 CPU backends (torch MKL vs XLA Eigen) agree to ~1e-6 per op; a full
+# ResNet of binary blocks amplifies boundary-value flips, so full-model
+# tolerances are looser than per-op ones but far below any real signal.
+FWD_TOL = 1e-4
+
+
+# -- (a) + (e): forward parity through a reference-produced checkpoint ------
+
+def test_forward_parity_resnet18_xnor(tmp_path):
+    ref_m, our_m, ckpt = make_pair(tmpdir=str(tmp_path), config="xnor")
+    assert forward_diff(ref_m, our_m) < FWD_TOL
+    # (e) explicitly: the checkpoint file was produced by the REFERENCE
+    # model's state_dict and imported without torch involvement
+    from bnn_tpu.utils import load_torch_file
+
+    sd = load_torch_file(ckpt)["state_dict"]
+    assert "conv1.weight" in sd and "layer4.1.conv2.weight" in sd
+
+
+def test_forward_parity_resnet18_xnor_net_plus(tmp_path):
+    """BasicScaleBinarizer + centered XNOR weights (the reference's
+    xnor-net-plus step1 config)."""
+    ref_m, our_m, _ = make_pair(tmpdir=str(tmp_path), config="xnor_net_plus")
+    assert forward_diff(ref_m, our_m) < FWD_TOL
+
+
+def test_forward_parity_train_mode_fp32(tmp_path):
+    """Train-mode forward (batch-stat BN) on the fp32 (all-Identity)
+    config: exercises the batch-statistics path exactly, with no sign()
+    chaos in the way — guards the two-pass BN choice
+    (nn.BatchNorm2d use_fast_variance=False). Binary train-mode parity is
+    asserted at block depth in the gradient tests (whole-model binary
+    train logits are chaotic: ~1e-6 backend noise in a pre-sign value
+    flips activation bits and compounds across 8 sign layers)."""
+    ref_m, our_m, _ = make_pair(tmpdir=str(tmp_path), config="fp32")
+    assert forward_diff(ref_m, our_m, train_mode=True) < 1e-3
+
+
+@pytest.mark.slow
+def test_forward_parity_preact_prelu(tmp_path):
+    """The reference's ImageNet flagship config: PreBasicBlock + PReLU
+    (ref examples/imagenet.py:152-156)."""
+    ref_m, our_m, _ = make_pair(tmpdir=str(tmp_path), block="PreBasicBlock",
+                                activation="PReLU", config="xnor_scaled")
+    assert forward_diff(ref_m, our_m) < FWD_TOL
+
+
+@pytest.mark.slow
+def test_forward_parity_dabnn_stem(tmp_path):
+    ref_m, our_m, _ = make_pair(tmpdir=str(tmp_path), stem="dabnn",
+                                config="xnor_scaled")
+    assert forward_diff(ref_m, our_m) < FWD_TOL
+
+
+@pytest.mark.slow
+def test_forward_parity_resnet50_bottleneck(tmp_path):
+    ref_m, our_m, _ = make_pair(tmpdir=str(tmp_path), arch="resnet50",
+                                config="xnor_scaled")
+    assert forward_diff(ref_m, our_m, size=64) < FWD_TOL
+
+
+@pytest.mark.slow
+def test_forward_parity_prebottleneck(tmp_path):
+    """Pre-activation bottleneck family. (SURVEY §7.5 flagged the
+    reference's ``bn3 = norm_layer(width)`` as a shape bug — it is not:
+    in pre-act ordering bn3 normalizes conv3's INPUT, which has ``width``
+    channels, so the reference runs and both frameworks agree;
+    ref bnn/models/layers/res_block.py:200,220-222.)"""
+    ref_m, our_m, _ = make_pair(tmpdir=str(tmp_path), arch="resnet50",
+                                block="PreBottleneck", config="xnor_scaled")
+    assert forward_diff(ref_m, our_m, size=64) < FWD_TOL
+
+
+# -- (b) gradient parity ----------------------------------------------------
+
+def _small_pair(config, tmp_path, chans=16):
+    """A single binarized BasicBlock pair with shared weights."""
+    torch_, ref = load_reference()
+    from bnn.models.layers import BasicBlock as RefBasicBlock
+    from flax import nnx
+
+    from benchmarks.parity_vs_reference import _our_bconfig, _ref_bconfig
+    from bnn_tpu import prepare_binary_model
+    from bnn_tpu.models.layers import BasicBlock
+
+    torch_.manual_seed(0)
+    ref_b = ref.prepare_binary_model(RefBasicBlock(chans, chans),
+                                     _ref_bconfig(config))
+    our_b = prepare_binary_model(BasicBlock(chans, chans, rngs=nnx.Rngs(0)),
+                                 bconfig=_our_bconfig(config))
+    transfer_weights(ref_b, our_b, str(tmp_path))
+    return ref_b, our_b
+
+
+def test_gradient_parity_block_xnor_scaled(tmp_path):
+    """STE sign + XNOR alpha + learnable scale gradients through a whole
+    train-mode BasicBlock match torch autograd. Worst-case per-parameter
+    tolerance 2e-2: a single |x|~1 STE-boundary element flipping between
+    backends moves one alpha gradient by ~1e-2 (measured); everything else
+    lands at ~1e-6."""
+    ref_b, our_b = _small_pair("xnor_scaled", tmp_path)
+    # binary TRAIN-mode forward parity at block depth (tight here; only
+    # whole-model depth is chaotic)
+    torch_, _ = load_reference()
+    ref_b.train(), our_b.train()
+    x = np.random.default_rng(3).standard_normal((4, 16, 8, 8)).astype(
+        np.float32)
+    import jax.numpy as jnp
+
+    with torch_.no_grad():
+        y_ref = ref_b(torch_.from_numpy(x)).numpy()
+    y_our = np.transpose(
+        np.asarray(our_b(jnp.asarray(np.transpose(x, (0, 2, 3, 1))))),
+        (0, 3, 1, 2))
+    assert np.abs(y_our - y_ref).max() < 1e-4
+    diffs = grad_diffs(ref_b, our_b)
+    assert diffs, "no comparable parameters found"
+    assert diffs["__input__"] < 1e-4, diffs
+    worst = max(diffs.values())
+    assert worst < 2e-2, sorted(diffs.items(), key=lambda kv: -kv[1])[:5]
+
+
+def test_gradient_parity_block_xnor_centered(tmp_path):
+    ref_b, our_b = _small_pair("xnor_net_plus", tmp_path)
+    diffs = grad_diffs(ref_b, our_b)
+    assert diffs["__input__"] < 1e-4, diffs
+    assert max(diffs.values()) < 2e-2, \
+        sorted(diffs.items(), key=lambda kv: -kv[1])[:5]
+
+
+# -- (c) BinaryChef equivalence on the reference's own recipe ---------------
+
+def test_chef_parity_on_reference_test_yaml():
+    """Both engines consume the SAME yaml (the reference's test asset):
+    every step must swap the identical layer set to the identical
+    (pre, post, weight) binarizer kinds — including the _first_/_last_
+    ignore resolution the reference implements with a swapped dict
+    (ref bnn/binarize.py:47-50; net effect identical when both are given)."""
+    ref_rep, our_rep = compare_chefs(
+        os.path.join(REFERENCE_PATH, "test/assets/test.yaml"))
+    assert len(ref_rep) == len(our_rep) == 3
+    for step, (r, o) in enumerate(zip(ref_rep, our_rep)):
+        assert set(r) == set(o), (step, set(r) ^ set(o))
+        for name in r:
+            assert r[name] == o[name], (step, name, r[name], o[name])
+
+
+# -- (d) training-curve parity ----------------------------------------------
+
+@pytest.mark.slow
+def test_train_curve_parity_fp32_exact(tmp_path):
+    """All-Identity (fp32) config: no sign discontinuities, so the two
+    frameworks' loss curves must track each other tightly — this pins the
+    layer math, train-mode BN, CE loss, and Adam to the reference."""
+    ref_l, our_l = train_curves(config="fp32", n_steps=30,
+                                tmpdir=str(tmp_path))
+    d = np.abs(np.array(ref_l) - np.array(our_l))
+    assert d[0] < 1e-4, (ref_l[0], our_l[0])
+    assert d.max() < 5e-2, (d.max(), list(zip(ref_l, our_l)))
+    # and it actually learned the same amount
+    assert abs(np.mean(ref_l[-5:]) - np.mean(our_l[-5:])) < 2e-2
+
+
+@pytest.mark.slow
+def test_train_curve_parity_binary_statistical(tmp_path):
+    """Binary config, 200 steps on identical batches from identical init
+    (VERDICT r3 #1d). sign() makes the trajectories chaotic (~1e-6 backend
+    noise flips activation bits), so the assertion is statistical: curves
+    stay in one band and reach the same loss level."""
+    ref_l, our_l = train_curves(config="xnor_scaled", n_steps=200,
+                                tmpdir=str(tmp_path))
+    ref_l, our_l = np.array(ref_l), np.array(our_l)
+    # step-0 forward is pre-divergence: must be close
+    assert abs(ref_l[0] - our_l[0]) < 5e-2
+    # same band throughout
+    assert np.abs(ref_l - our_l).mean() < 0.25, np.abs(ref_l - our_l).mean()
+    # both descend, and to the same level
+    assert np.mean(ref_l[-20:]) < np.mean(ref_l[:20])
+    assert np.mean(our_l[-20:]) < np.mean(our_l[:20])
+    assert abs(np.mean(ref_l[-20:]) - np.mean(our_l[-20:])) < 0.15
