@@ -189,6 +189,23 @@ def main():
         "value": round(imgs_per_s, 1),
         "unit": "images/s",
         "vs_baseline": round(t_qat / t_i8, 3),
+        # self-description so cross-round BENCH_r*.json stay comparable
+        # (VERDICT r3 next #8): rounds 1-3 changed sign convention
+        # (degenerate zero_to_one retraction, ROADMAP "Measurement
+        # discipline") — the config rides with the number from now on
+        "config": {
+            "model": "binary_resnet18",
+            "batch": batch, "image_size": size,
+            "sign": "ternary (torch-parity, non-degenerate)",
+            "stem": "basic 7x7 fp-by-convention (first/last fp32)",
+            "weight_format": "int8", "float_dtype": "bfloat16",
+            "fused": "none at B=64 (stage/block kernel caps <= 8)",
+            "baseline": "QAT fake-binary path on the same chip "
+                        "(the reference's execution model)",
+            "b1_fused_us": round(t_1 * 1e6, 1),
+            "qat_ms": round(t_qat * 1e3, 3),
+            "deployed_ms": round(t_i8 * 1e3, 3),
+        },
     }))
 
 

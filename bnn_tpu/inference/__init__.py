@@ -18,8 +18,18 @@ from .deploy import (
     set_gemm_impl,
 )
 from .tp import shard_tp_state, tag_tensor_parallel, tp_state_specs
+from .tp_packed import (
+    PackedTPLayer,
+    ici_bytes_per_layer,
+    pack_chain_weights,
+    packed_tp_chain,
+)
 
 __all__ = [
+    "PackedTPLayer",
+    "pack_chain_weights",
+    "packed_tp_chain",
+    "ici_bytes_per_layer",
     "Predictor",
     "FusedStem",
     "fuse_stem",

@@ -53,6 +53,18 @@ class Predictor:
             # block megakernels reduce over conv1's FULL channels — they
             # cannot consume a channel shard, so TP serving stays unfused
             fuse = False
+        if binary_gemm_impl != "mxu":
+            # fusion would absorb most eligible layers into MXU megakernels,
+            # silently overriding the requested popcount execution for all
+            # but the leftovers — honor the request by serving unfused
+            # (popcount is the bandwidth/ICI capability form, not a speed
+            # path on-chip; see benchmarks/popcount_mode.py)
+            assert fuse is not True, (
+                "binary_gemm_impl='%s' is incompatible with fuse=True: the "
+                "stage/block megakernels always execute on the MXU, so "
+                "fusion would override the requested GEMM implementation "
+                "for every absorbed layer" % binary_gemm_impl)
+            fuse = False
         model.eval()
         model = deploy(model, weight_format=weight_format,
                        use_pallas=use_pallas)
@@ -99,8 +111,14 @@ class Predictor:
         self.mesh = mesh
         self.tensor_parallel = tensor_parallel
         if tensor_parallel:
+            from ..binarize import named_modules
+            from .deploy import DeployedConv, DeployedLinear
             from .tp import tag_tensor_parallel
             self.tp_layers = tag_tensor_parallel(model, mesh, axis=model_axis)
+            # audit surface: how much of the deployed model actually shards
+            self.tp_total = sum(
+                1 for _, m in named_modules(model)
+                if isinstance(m, (DeployedConv, DeployedLinear)))
         self._graphdef, self._state = nnx.split(model)
 
         def _run(state, x):

@@ -20,6 +20,7 @@ scaling story is DataParallel/DDP, examples/imagenet.py:120-187).
 """
 from __future__ import annotations
 
+import logging
 from typing import Dict, List, Tuple
 
 import jax
@@ -31,18 +32,25 @@ from .deploy import DeployedConv, DeployedLinear
 
 __all__ = ["tag_tensor_parallel", "tp_state_specs", "shard_tp_state"]
 
+logger = logging.getLogger(__name__)
+
 # leaf names holding out-channel-last arrays in a deployed layer
 _TP_LEAVES = ("w_packed", "scale", "add")
 
 
-def _eligible_tp(m, n: int) -> bool:
+def _tp_skip_reason(m, n: int) -> str:
+    """'' when shardable over n chips, else why the layer stays replicated."""
     if isinstance(m, DeployedLinear):
-        return m.out_features % n == 0
+        return ("" if m.out_features % n == 0
+                else f"out_features {m.out_features} % {n} != 0")
     if isinstance(m, DeployedConv):
         # grouped convs would need group-aligned shards of BOTH operands;
         # out of scope (BATS groups are small layers anyway)
-        return m.groups == 1 and m.out_channels % n == 0
-    return False
+        if m.groups != 1:
+            return f"grouped conv (groups={m.groups})"
+        return ("" if m.out_channels % n == 0
+                else f"out_channels {m.out_channels} % {n} != 0")
+    return "not a deployed binary layer"
 
 
 def tag_tensor_parallel(model: nnx.Module, mesh: Mesh,
@@ -53,14 +61,26 @@ def tag_tensor_parallel(model: nnx.Module, mesh: Mesh,
     local out-channel shard and all-gather its output over ``axis``.
     Returns the tagged module names. Layers whose out-channel count does
     not divide the axis (and grouped convs) stay replicated — the deployed
-    model remains correct either way.
+    model remains correct either way, but every skip is logged so the
+    sharding story of a real pod deployment is auditable.
     """
     n = mesh.shape[axis]
-    tagged = []
+    tagged, skipped = [], []
     for name, m in named_modules(model):
-        if _eligible_tp(m, n):
+        if not isinstance(m, (DeployedConv, DeployedLinear)):
+            continue
+        reason = _tp_skip_reason(m, n)
+        if not reason:
             m.tp_axis = axis
             tagged.append(name)
+        else:
+            skipped.append((name, reason))
+            logger.warning(
+                "tensor-parallel serving: layer %r stays REPLICATED (%s)",
+                name, reason)
+    logger.info("tensor-parallel serving: sharded %d/%d deployed layers "
+                "over %d-way %r axis", len(tagged),
+                len(tagged) + len(skipped), n, axis)
     return tagged
 
 

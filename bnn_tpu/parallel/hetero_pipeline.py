@@ -93,7 +93,7 @@ class HeteroPipeline:
 
         self._graphdefs, self._shapes, self._treedefs = [], [], []
         self._dtypes = []
-        flats = []
+        flats, masks = [], []
         self.io_shapes = []  # per-stage (in_shape, out_shape), per sample
         cur = jax.ShapeDtypeStruct((1,) + tuple(x_shape), jnp.float32)
         for m in stages:
@@ -105,6 +105,16 @@ class HeteroPipeline:
             self._treedefs.append(treedef)
             self._dtypes.append([l.dtype for l in leaves])
             flats.append(flat)
+            # 1.0 on lanes holding trainable Params, 0.0 on everything else
+            # (BatchNorm running stats...). flat_state() iterates in the
+            # same sorted order jax.tree.flatten uses, so lane offsets line
+            # up with _flatten_state's concatenation.
+            masks.append(jnp.concatenate([
+                jnp.full(math.prod(v.value.shape) if v.value.shape else 1,
+                         1.0 if issubclass(v.type, nnx.Param) else 0.0,
+                         jnp.float32)
+                for _, v in st.flat_state()
+            ]) if leaves else jnp.zeros((0,), jnp.float32))
 
             def _fwd(state, v, gd=gd):
                 return nnx.merge(gd, state)(v)
@@ -121,6 +131,15 @@ class HeteroPipeline:
             jnp.pad(f, (0, self._lmax - f.shape[0])) for f in flats])
         self.flat_params = jax.device_put(
             stacked, NamedSharding(mesh, P(axis, None)))
+        #: (n_stages, Lmax) 0/1 buffer — 1.0 exactly on nnx.Param lanes.
+        #: Trainers must keep weight decay off the 0 lanes (running stats);
+        #: passing ``params * pipe.param_mask`` to ``tx.update`` does it for
+        #: any optax chain whose only params-reading transform is
+        #: ``add_decayed_weights`` (adamw/adam/sgd qualify).
+        self.param_mask = jax.device_put(
+            jnp.stack([jnp.pad(mk, (0, self._lmax - mk.shape[0]))
+                       for mk in masks]),
+            NamedSharding(mesh, P(axis, None)))
 
     # -- state round-trips ------------------------------------------------
 

@@ -75,6 +75,9 @@ def parse_args():
     p.add_argument("--warmup-epochs", type=int, default=5)
     p.add_argument("--milestones", type=int, nargs="*", default=[30, 60, 80])
     p.add_argument("--resume", default=None)
+    p.add_argument("-e", "--evaluate", action="store_true",
+                   help="evaluate the model on the validation set and exit "
+                        "(reference imagenet.py:63-64, 299-300)")
     p.add_argument("--out", default="./checkpoint/imagenet")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--print-freq", type=int, default=50)
@@ -88,7 +91,7 @@ def parse_args():
                         "mesh axis via HeteroPipeline; 1 = off). "
                         "Composes with data parallelism on the remaining "
                         "devices; incompatible with --model-parallel/"
-                        "--zero1/--accum-steps/--resume in this trainer")
+                        "--zero1/--accum-steps in this trainer")
     p.add_argument("--microbatches", type=int, default=4,
                    help="GPipe microbatches per step (with --pipeline)")
     p.add_argument("--accum-steps", type=int, default=1,
@@ -188,6 +191,19 @@ def train_pipelined(args, model, chef, is_host0):
     if is_host0:
         print(f"==> pipeline mesh {dict(mesh.shape)} over {n_dev} devices")
 
+    start_epoch, payload = 0, None
+    if args.resume:
+        # model state restores BEFORE the pipeline flattens it, so the flat
+        # buffer starts from the checkpointed weights/stats; the flat
+        # optimizer state restores below once its structure exists
+        # (reference resumes any config, imagenet.py:218-256)
+        payload = load_checkpoint(args.resume)
+        skipped = restore_into(model, payload, strict=False)
+        if skipped and is_host0:
+            print(f"==> pipeline resume skipped {len(skipped)} "
+                  "mismatched entries")
+        start_epoch = int(payload.get("metadata", {}).get("epoch", 0))
+
     model.train()
     stages = resnet_pipeline_stages(model, args.pipeline)
     pipe = HeteroPipeline(
@@ -203,6 +219,24 @@ def train_pipelined(args, model, chef, is_host0):
 
     flat = pipe.flat_params
     opt_state = tx.init(flat)
+    if payload is not None and payload.get("opt_state") is not None:
+        # the pipeline optimizer runs over the flat (n_stages, Lmax)
+        # buffer; its optax state is checkpointed as a leaf list (orbax
+        # round-trips the arrays, the treedef is reconstructable from
+        # tx.init). Restoring the counts resumes the schedule position.
+        leaves, treedef = jax.tree.flatten(opt_state)
+        saved = payload["opt_state"].get("pipeline_flat")
+        if isinstance(saved, dict):  # orbax may stringify list indices
+            saved = [saved[k] for k in sorted(saved, key=int)]
+        if saved is not None and len(saved) == len(leaves) and all(
+                np.shape(s) == np.shape(l) for s, l in zip(saved, leaves)):
+            opt_state = jax.tree.unflatten(
+                treedef, [jnp.asarray(s) for s in saved])
+            if is_host0:
+                print("==> pipeline resume restored optimizer state")
+        elif is_host0:
+            print("==> checkpoint optimizer state incompatible with this "
+                  "pipeline config; moments reset")
     assert args.batch_size % args.microbatches == 0
 
     @jax.jit
@@ -216,11 +250,30 @@ def train_pipelined(args, model, chef, is_host0):
 
         (loss, (new_flat, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(flat)
-        upd, opt_state = tx.update(grads, opt_state, new_flat)
+        # the flat buffer mixes Params with BatchNorm running stats; mask
+        # the stats lanes out of the params the optimizer sees so adamw's
+        # decoupled weight decay never shrinks running mean/var (adam/sgd
+        # read params only through add_decayed_weights, so this is exact)
+        upd, opt_state = tx.update(grads, opt_state,
+                                   new_flat * pipe.param_mask)
         top1 = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
         return optax.apply_updates(new_flat, upd), opt_state, loss, top1
 
-    for epoch in range(args.epochs):
+    def checkpoint_now(epoch_done: int):
+        # write trained params + stats back into the shared model modules;
+        # the model checkpoint stays format-compatible with the sequential
+        # trainer (resume/eval works either way), the flat optimizer state
+        # rides along for pipeline-to-pipeline resume
+        for st_mod, st in zip(stages, pipe.unflatten_stage_states(flat)):
+            nnx.update(st_mod, st)
+        if is_host0:
+            save_checkpoint(
+                args.out, model,
+                opt_state={"pipeline_flat": jax.tree.leaves(opt_state)},
+                metadata={"epoch": epoch_done, "arch": args.arch,
+                          "step": args.step, "pipeline": args.pipeline})
+
+    for epoch in range(start_epoch, args.epochs):
         losses = AverageMeter("Loss", ":.4e")
         top1m = AverageMeter("Acc@1", ":6.2f")
         it = synthetic_batches(args.batch_size, steps_per_epoch,
@@ -233,19 +286,34 @@ def train_pipelined(args, model, chef, is_host0):
             if is_host0 and i % args.print_freq == 0:
                 print(f"PipeEpoch[{epoch}][{i}/{steps_per_epoch}] "
                       f"{losses} {top1m}")
+        checkpoint_now(epoch + 1)
         if is_host0:
             print(f" * PipeEpoch {epoch}: Loss {losses.avg:.4f} "
                   f"Acc@1 {top1m.avg:.3f}")
-
-    # write trained params + stats back into the shared model modules and
-    # checkpoint the ordinary way
-    for st_mod, st in zip(stages, pipe.unflatten_stage_states(flat)):
-        nnx.update(st_mod, st)
     if is_host0:
-        save_checkpoint(args.out, model,
-                        metadata={"epoch": args.epochs, "arch": args.arch,
-                                  "step": args.step, "pipeline": args.pipeline})
         print(f"==> pipelined training done; checkpoint at {args.out}")
+
+
+def validate(args, model, eval_step, mesh, val_loader):
+    """One pass over the validation split; returns (acc1, acc5) in percent
+    (the reference's ``validate()``, examples/imagenet.py:387-428)."""
+    model.eval()
+    tot = {"loss": 0.0, "top1": 0.0, "top5": 0.0, "count": 0.0}
+    if val_loader is not None:
+        val_it = prefetch_to_device(iter(val_loader), mesh=mesh)
+    elif args.data and not args.synthetic:
+        val_it = npy_batches(args.data, "val", args.batch_size, False)
+    else:
+        val_it = synthetic_batches(args.batch_size, 8, seed=999,
+                                   size=args.image_size)
+    for xb, yb in val_it:
+        if val_loader is None:
+            xb, yb = shard_batch((jnp.asarray(xb), jnp.asarray(yb)), mesh)
+        m = eval_step(model, xb, yb)
+        for k in tot:
+            tot[k] += float(m[k])
+    return (100.0 * tot["top1"] / tot["count"],
+            100.0 * tot["top5"] / tot["count"])
 
 
 def main():
@@ -272,8 +340,12 @@ def main():
     if args.pipeline > 1:
         # pipeline-parallel training path (GPipe over a 'pipe' axis)
         assert args.model_parallel == 1 and not args.zero1 \
-            and args.accum_steps == 1 and not args.resume, \
+            and args.accum_steps == 1, \
             "--pipeline composes with data parallelism only in this trainer"
+        assert not args.evaluate, \
+            "eval-only runs use the sequential path (pipeline checkpoints " \
+            "are model-format compatible: --evaluate --resume <ckpt> " \
+            "without --pipeline)"
         return train_pipelined(args, model, chef, is_host0)
 
     mesh = make_mesh(model=args.model_parallel)
@@ -350,6 +422,14 @@ def main():
             from bnn_tpu.parallel import shard_optimizer_zero1
             shard_optimizer_zero1(optimizer, mesh)
 
+    if args.evaluate:
+        # eval-only mode: one validation pass, no training
+        # (reference imagenet.py:299-300)
+        acc1, acc5 = validate(args, model, eval_step, mesh, val_loader)
+        if is_host0:
+            print(f" * Evaluate: Acc@1 {acc1:.3f} Acc@5 {acc5:.3f}")
+        return acc1
+
     for epoch in range(start_epoch, args.epochs):
         model.train()
         losses = AverageMeter("Loss", ":.4e")
@@ -382,23 +462,7 @@ def main():
                 progress.display(i)
 
         # validate
-        model.eval()
-        tot = {"loss": 0.0, "top1": 0.0, "top5": 0.0, "count": 0.0}
-        if val_loader is not None:
-            val_it = prefetch_to_device(iter(val_loader), mesh=mesh)
-        elif args.data and not args.synthetic:
-            val_it = npy_batches(args.data, "val", args.batch_size, False)
-        else:
-            val_it = synthetic_batches(args.batch_size, 8, seed=999,
-                                       size=args.image_size)
-        for xb, yb in val_it:
-            if val_loader is None:
-                xb, yb = shard_batch((jnp.asarray(xb), jnp.asarray(yb)), mesh)
-            m = eval_step(model, xb, yb)
-            for k in tot:
-                tot[k] += float(m[k])
-        acc1 = 100.0 * tot["top1"] / tot["count"]
-        acc5 = 100.0 * tot["top5"] / tot["count"]
+        acc1, acc5 = validate(args, model, eval_step, mesh, val_loader)
         if is_host0:
             print(f" * Epoch {epoch}: Acc@1 {acc1:.3f} Acc@5 {acc5:.3f}")
             is_best = acc1 > best_acc1

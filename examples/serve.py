@@ -92,8 +92,8 @@ def main():
 
     mode = ("TPU megakernels" if on_tpu else "CPU reference path")
     if predictor.tensor_parallel:
-        mode += (f", {len(predictor.tp_layers)} layers tensor-sharded over "
-                 f"{args.tensor_parallel} chips")
+        mode += (f", {len(predictor.tp_layers)}/{predictor.tp_total} deployed "
+                 f"layers tensor-sharded over {args.tensor_parallel} chips")
     print(f"serving state: {predictor.state_bytes() / 1e6:.2f} MB, "
           f"batch {args.batch_size}, {mode}")
 

@@ -110,6 +110,42 @@ def test_serve_example_tensor_parallel(monkeypatch, capsys):
 
 
 @pytest.mark.slow
+def test_imagenet_evaluate_only(tmp_path, monkeypatch, capsys):
+    """--evaluate runs one validation pass and exits without training
+    (reference imagenet.py:63-64, 299-300)."""
+    common = ["--synthetic", "--batch-size", "16", "--step", "0",
+              "--image-size", "32", "--steps-per-epoch", "2",
+              "--print-freq", "1", "--out", str(tmp_path / "inet")]
+    _run("examples/imagenet.py", common + ["--epochs", "1"], monkeypatch)
+    capsys.readouterr()
+    _run("examples/imagenet.py",
+         common + ["--evaluate", "--resume", str(tmp_path / "inet")],
+         monkeypatch)
+    out = capsys.readouterr().out
+    assert "* Evaluate: Acc@1" in out
+    assert "Epoch[" not in out  # no training happened
+
+
+@pytest.mark.slow
+def test_imagenet_pipeline_resume(tmp_path, monkeypatch, capsys):
+    """--pipeline + --resume restores stage params AND the flat optimizer
+    state (moments + schedule position) and continues at the saved epoch."""
+    common = ["--synthetic", "--batch-size", "16", "--step", "0",
+              "--image-size", "32", "--steps-per-epoch", "2",
+              "--print-freq", "1", "--pipeline", "4", "--microbatches", "2",
+              "--out", str(tmp_path / "inet")]
+    _run("examples/imagenet.py", common + ["--epochs", "1"], monkeypatch)
+    capsys.readouterr()
+    _run("examples/imagenet.py",
+         common + ["--epochs", "2", "--resume", str(tmp_path / "inet")],
+         monkeypatch)
+    out = capsys.readouterr().out
+    assert "restored optimizer state" in out
+    assert "moments reset" not in out
+    assert "PipeEpoch[1]" in out and "PipeEpoch[0]" not in out
+
+
+@pytest.mark.slow
 def test_imagenet_pipeline_parallel(tmp_path, monkeypatch, capsys):
     """--pipeline N trains over a (pipe, data) mesh via HeteroPipeline and
     checkpoints the reassembled model."""

@@ -387,6 +387,67 @@ class TestZero1:
             assert "data" in tuple(x.sharding.spec), (
                 x.shape, x.sharding.spec)
 
+    def test_zero1_checkpoint_roundtrip_continuity(self, tmp_path):
+        """Save/restore a ZeRO-1-sharded optimizer through Orbax on the
+        8-device mesh and resume: the loss trajectory must match an
+        uninterrupted sharded run (VERDICT r3 next #4 — the resume
+        continuity test previously ran unsharded only). Orbax writes the
+        full logical array regardless of sharding; on restore the fresh
+        optimizer is re-sharded exactly like the trainer does
+        (examples/imagenet.py resume path with --zero1)."""
+        from bnn_tpu.parallel import shard_optimizer_zero1
+        from bnn_tpu.utils import (load_checkpoint, restore_into,
+                                   restore_optimizer, save_checkpoint)
+
+        mesh = make_mesh()  # data=8
+
+        def build():
+            model = make_model()
+            model.train()
+            sched = optax.cosine_decay_schedule(5e-2, 24)
+            opt = nnx.Optimizer(model, optax.adamw(sched), wrt=nnx.Param)
+            shard_model(model, mesh)
+            shard_model(opt, mesh)
+            shard_optimizer_zero1(opt, mesh, min_size=64)
+            return model, opt
+
+        x = jax.random.normal(jax.random.key(5), (32, 8, 8, 3))
+        y = jax.random.randint(jax.random.key(6), (32,), 0, 10)
+        step = make_train_step()
+
+        def run(model, opt, lo, hi):
+            losses = []
+            for i in range(lo, hi):
+                idx = jnp.arange(16) + (i % 2) * 16
+                xb, yb = shard_batch((x[idx], y[idx]), mesh)
+                losses.append(float(step(model, opt, xb, yb)["loss"]))
+            return losses
+
+        model_a, opt_a = build()
+        losses_full = run(model_a, opt_a, 0, 12)
+
+        model_b, opt_b = build()
+        run(model_b, opt_b, 0, 6)
+        # the moments being saved really are data-sharded
+        assert any(
+            "data" in tuple(x.sharding.spec)
+            for p, x in jax.tree_util.tree_leaves_with_path(nnx.state(opt_b))
+            if "opt_state" in jax.tree_util.keystr(p)
+            and hasattr(x, "sharding") and x.size >= 64)
+        path = str(tmp_path / "zero1_ckpt")
+        save_checkpoint(path, model_b, opt_state=opt_b)
+
+        model_c, opt_c = build()
+        payload = load_checkpoint(path)
+        restore_into(model_c, payload)
+        assert restore_optimizer(opt_c, payload) == []  # strict, no skips
+        shard_model(model_c, mesh)
+        shard_model(opt_c, mesh)
+        shard_optimizer_zero1(opt_c, mesh, min_size=64)
+        losses_resumed = run(model_c, opt_c, 6, 12)
+        np.testing.assert_allclose(losses_resumed, losses_full[6:],
+                                   rtol=2e-4)
+
     def test_zero1_preserves_tensor_parallel_sharding(self):
         # ADVICE r1: zero1 must not clobber the TP shardings shard_model
         # applied to moment arrays — it should compose with them
