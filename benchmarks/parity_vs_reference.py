@@ -338,22 +338,68 @@ def grad_diffs(ref_model, our_model, batch: int = 4, chans: int = 16,
     return diffs
 
 
+def build_smoke_pair(config: str, num_classes: int = 10,
+                     tmpdir: Optional[str] = None):
+    """A small maxpool-free conv pair with identical weights.
+
+    Maxpool over post-ReLU feature maps is full of TIED zeros, and torch
+    vs XLA break pooling-gradient ties differently — a real, systematic
+    gradient-routing difference that makes even fp32 training curves drift.
+    The smoke model (conv/BN/PReLU stacks + avgpool head) has no ties, so
+    its curves must track to fp noise; ResNet curves are compared
+    statistically."""
+    torch, ref = load_reference()
+    from flax import nnx
+
+    from bnn_tpu import nn, prepare_binary_model
+
+    torch.manual_seed(0)
+    tn = torch.nn
+    ref_model = tn.Sequential(
+        tn.Conv2d(3, 16, 3, padding=1), tn.BatchNorm2d(16), tn.PReLU(16),
+        tn.Conv2d(16, 16, 3, padding=1), tn.BatchNorm2d(16), tn.PReLU(16),
+        tn.AdaptiveAvgPool2d(1), tn.Flatten(),
+        tn.Linear(16, num_classes))
+    ref_model = ref.prepare_binary_model(
+        ref_model, _ref_bconfig(config),
+        ignore_layers_name=["_first_", "_last_"])
+    rngs = nnx.Rngs(0)
+    our_model = nn.Sequential(
+        nn.Conv2d(3, 16, 3, padding=1, rngs=rngs),
+        nn.BatchNorm2d(16, rngs=rngs), nn.PReLU(16, rngs=rngs),
+        nn.Conv2d(16, 16, 3, padding=1, rngs=rngs),
+        nn.BatchNorm2d(16, rngs=rngs), nn.PReLU(16, rngs=rngs),
+        nn.AdaptiveAvgPool2d(1), nn.Flatten(),
+        nn.Linear(16, num_classes, rngs=rngs))
+    our_model = prepare_binary_model(
+        our_model, bconfig=_our_bconfig(config),
+        ignore_layers_name=["_first_", "_last_"])
+    transfer_weights(ref_model, our_model, tmpdir)
+    return ref_model, our_model
+
+
 def train_curves(config: str = "xnor", n_steps: int = 200, batch: int = 32,
                  size: int = 32, num_classes: int = 10, lr: float = 1e-3,
-                 seed: int = 42,
+                 seed: int = 42, arch: str = "resnet18",
                  tmpdir: Optional[str] = None) -> Tuple[List[float], List[float]]:
     """Train the reference and bnn_tpu from IDENTICAL init on IDENTICAL
     synthetic CIFAR batches with Adam (the reference's cifar10 settings,
-    examples/cifar10.py:63-123); returns the two per-step loss curves."""
+    examples/cifar10.py:63-123); returns the two per-step loss curves.
+    ``arch='smoke'`` uses the tie-free small pair (see build_smoke_pair)."""
     torch, _ = load_reference()
     import torch.nn.functional as TF
     import jax.numpy as jnp
     import optax
     from flax import nnx
 
-    ref_model = build_ref_model(config=config, num_classes=num_classes)
-    our_model = build_our_model(config=config, num_classes=num_classes)
-    transfer_weights(ref_model, our_model, tmpdir)
+    if arch == "smoke":
+        ref_model, our_model = build_smoke_pair(config, num_classes, tmpdir)
+    else:
+        ref_model = build_ref_model(arch=arch, config=config,
+                                    num_classes=num_classes)
+        our_model = build_our_model(arch=arch, config=config,
+                                    num_classes=num_classes)
+        transfer_weights(ref_model, our_model, tmpdir)
 
     rng = np.random.default_rng(seed)
     batches = [
@@ -463,10 +509,13 @@ def compare_chefs(recipe_path: str, num_classes: int = 10):
 # -- CLI report --------------------------------------------------------------
 
 FORWARD_CASES = [
-    # (label, kwargs) — every runnable reference block family / stem.
-    # PreBottleneck is omitted: the reference's own class is unusable
-    # (bn3 built with `width` instead of planes*expansion,
-    # ref bnn/models/layers/res_block.py:200 — crashes at runtime).
+    # (label, kwargs) — every runnable reference model-level family/stem.
+    # resnet50 (Bottleneck/PreBottleneck at MODEL level) is omitted: the
+    # reference's own resnet50 cannot run — its head is
+    # ``Linear(512, n)`` regardless of block expansion
+    # (ref bnn/models/resnet.py:166, 204-213), so the forward crashes with
+    # a 2048-vs-512 matmul mismatch. The bottleneck families are
+    # parity-tested at BLOCK level instead (tests/test_reference_parity.py).
     ("r18_xnor", dict(arch="resnet18", config="xnor")),
     ("r18_xnor_scaled", dict(arch="resnet18", config="xnor_scaled")),
     ("r18_xnor_net_plus", dict(arch="resnet18", config="xnor_net_plus")),
@@ -474,7 +523,6 @@ FORWARD_CASES = [
                               activation="PReLU", config="xnor_scaled")),
     ("r18_dabnn_stem", dict(arch="resnet18", stem="dabnn",
                             config="xnor_scaled")),
-    ("r50_bottleneck", dict(arch="resnet50", config="xnor_scaled")),
 ]
 
 
@@ -493,13 +541,14 @@ def main():
     results["chef_steps_equal"] = ref_rep == our_rep
     print("chef parity:", ref_rep == our_rep, flush=True)
 
-    for config, steps in (("fp32", 60), ("xnor_scaled", 200)):
-        ref_l, our_l = train_curves(config=config, n_steps=steps)
+    for config, steps, arch in (("fp32", 60, "smoke"),
+                                ("xnor_scaled", 200, "resnet18")):
+        ref_l, our_l = train_curves(config=config, n_steps=steps, arch=arch)
         d = np.abs(np.array(ref_l) - np.array(our_l))
         results[f"train/{config}/mean_abs_diff"] = float(d.mean())
         results[f"train/{config}/final10_ref"] = float(np.mean(ref_l[-10:]))
         results[f"train/{config}/final10_ours"] = float(np.mean(our_l[-10:]))
-        print(f"train {config}: mean|Δloss| {d.mean():.4f}  "
+        print(f"train {config} ({arch}): mean|Δloss| {d.mean():.4f}  "
               f"final10 ref {np.mean(ref_l[-10:]):.4f} "
               f"ours {np.mean(our_l[-10:]):.4f}", flush=True)
 

@@ -140,14 +140,20 @@ class ReLU(nnx.Module):
 
 
 class PReLU(nnx.Module):
-    """PReLU with ``num_parameters`` per-channel slopes (channels-last)."""
+    """PReLU with ``num_parameters`` per-channel slopes (channels-last).
+
+    The branch condition is ``x > 0`` (torch parity), NOT ``x >= 0``: the
+    value at 0 is 0 either way, but the subgradient differs (slope vs 1) —
+    and binary conv outputs contain EXACT zeros systematically (alpha x
+    integer dot products), so the choice measurably changes training
+    gradients (found by tests/test_reference_parity.py)."""
 
     def __init__(self, num_parameters: int = 1, init: float = 0.25, *,
                  rngs: Optional[nnx.Rngs] = None):
         self.weight = nnx.Param(jnp.full((num_parameters,), init, dtype=jnp.float32))
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        return jnp.where(x >= 0, x, x * self.weight[...])
+        return jnp.where(x > 0, x, x * self.weight[...])
 
 
 class Tanh(nnx.Module):

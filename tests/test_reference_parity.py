@@ -62,6 +62,7 @@ def test_forward_parity_resnet18_xnor(tmp_path):
     assert "conv1.weight" in sd and "layer4.1.conv2.weight" in sd
 
 
+@pytest.mark.slow
 def test_forward_parity_resnet18_xnor_net_plus(tmp_path):
     """BasicScaleBinarizer + centered XNOR weights (the reference's
     xnor-net-plus step1 config)."""
@@ -69,6 +70,7 @@ def test_forward_parity_resnet18_xnor_net_plus(tmp_path):
     assert forward_diff(ref_m, our_m) < FWD_TOL
 
 
+@pytest.mark.slow
 def test_forward_parity_train_mode_fp32(tmp_path):
     """Train-mode forward (batch-stat BN) on the fp32 (all-Identity)
     config: exercises the batch-statistics path exactly, with no sign()
@@ -98,22 +100,125 @@ def test_forward_parity_dabnn_stem(tmp_path):
 
 
 @pytest.mark.slow
-def test_forward_parity_resnet50_bottleneck(tmp_path):
-    ref_m, our_m, _ = make_pair(tmpdir=str(tmp_path), arch="resnet50",
-                                config="xnor_scaled")
-    assert forward_diff(ref_m, our_m, size=64) < FWD_TOL
+def test_reference_resnet50_head_is_broken():
+    """Documented asymmetry: the reference's resnet50 cannot run at all —
+    its classifier is ``Linear(512, n)`` regardless of block expansion
+    (ref bnn/models/resnet.py:166), so Bottleneck's 2048 features crash
+    the matmul. Ours sizes the head ``planes * expansion`` and runs.
+    Bottleneck-family parity is therefore proven at BLOCK level below."""
+    torch_, _ = load_reference()
+    import bnn.models.resnet as ref_resnet
+    from flax import nnx
+
+    from bnn_tpu import models
+
+    with pytest.raises(RuntimeError, match="cannot be multiplied"):
+        with torch_.no_grad():
+            ref_resnet.resnet50(num_classes=10)(torch_.randn(1, 3, 64, 64))
+    out = models.resnet50(num_classes=10, rngs=nnx.Rngs(0))(
+        np.zeros((1, 64, 64, 3), np.float32))
+    assert out.shape == (1, 10)
+
+
+def _bottleneck_pair(cls_name, config, tmp_path, activation=None):
+    torch_, ref = load_reference()
+    import bnn.models.layers as ref_layers
+    from flax import nnx
+
+    from benchmarks.parity_vs_reference import _our_bconfig, _ref_bconfig
+    from bnn_tpu import nn, prepare_binary_model
+    from bnn_tpu.models import layers as our_layers
+
+    torch_.manual_seed(0)
+    ref_kw = dict(norm_layer=torch_.nn.BatchNorm2d)
+    our_kw = {}
+    if activation is not None:
+        ref_kw["activation"] = getattr(torch_.nn, activation)
+        our_kw["activation"] = getattr(nn, activation)
+    # inplanes = planes * expansion so the identity shortcut applies
+    ref_b = ref.prepare_binary_model(
+        getattr(ref_layers, cls_name)(64, 16, **ref_kw),
+        _ref_bconfig(config))
+    our_b = prepare_binary_model(
+        getattr(our_layers, cls_name)(64, 16, rngs=nnx.Rngs(0), **our_kw),
+        bconfig=_our_bconfig(config))
+    transfer_weights(ref_b, our_b, str(tmp_path))
+    return ref_b, our_b
 
 
 @pytest.mark.slow
-def test_forward_parity_prebottleneck(tmp_path):
-    """Pre-activation bottleneck family. (SURVEY §7.5 flagged the
-    reference's ``bn3 = norm_layer(width)`` as a shape bug — it is not:
-    in pre-act ordering bn3 normalizes conv3's INPUT, which has ``width``
-    channels, so the reference runs and both frameworks agree;
-    ref bnn/models/layers/res_block.py:200,220-222.)"""
-    ref_m, our_m, _ = make_pair(tmpdir=str(tmp_path), arch="resnet50",
-                                block="PreBottleneck", config="xnor_scaled")
-    assert forward_diff(ref_m, our_m, size=64) < FWD_TOL
+def test_gradient_parity_bottleneck_block(tmp_path):
+    """Post-activation Bottleneck: forward + gradients vs torch autograd
+    (model-level resnet50 is unrunnable in the reference — see above)."""
+    ref_b, our_b = _bottleneck_pair("Bottleneck", "xnor_scaled", tmp_path)
+    diffs = grad_diffs(ref_b, our_b, chans=64)
+    assert diffs["__input__"] < 1e-4, diffs
+    assert max(diffs.values()) < 2e-2, \
+        sorted(diffs.items(), key=lambda kv: -kv[1])[:5]
+
+
+@pytest.mark.slow
+def test_gradient_parity_prebottleneck_block(tmp_path):
+    """Pre-activation bottleneck wiring, fp32 (all-Identity) config.
+
+    (SURVEY §7.5 flagged the reference's ``bn3 = norm_layer(width)`` as a
+    shape bug — it is not: in pre-act ordering bn3 normalizes conv3's
+    INPUT, which has ``width`` channels; ref
+    bnn/models/layers/res_block.py:200,220-222.)
+
+    Why fp32 here: in pre-act ordering the activation applies DIRECTLY to
+    a binarized conv's output, whose distribution has mass atoms at
+    exactly 0 (alpha x integer dot products). fp summation noise puts
+    those atoms at +/-1e-8 inconsistently across backends, so ~5-10% of
+    activations sit on the PReLU/ReLU kink and their subgradient branch
+    flips — binary pre-act gradient trajectories are inherently
+    non-comparable element-wise. STE/alpha gradient parity is proven on
+    the post-act blocks (BN sits between conv and act there, moving the
+    atoms off the kink); this test pins the pre-act block's WIRING."""
+    ref_b, our_b = _bottleneck_pair("PreBottleneck", "fp32", tmp_path,
+                                    activation="PReLU")
+    diffs = grad_diffs(ref_b, our_b, chans=64)
+    assert diffs["__input__"] < 1e-4, diffs
+    assert max(diffs.values()) < 1e-4, \
+        sorted(diffs.items(), key=lambda kv: -kv[1])[:5]
+
+
+@pytest.mark.slow
+def test_reference_prebottleneck_relu_cannot_train(tmp_path):
+    """Documented reference bug: PreBottleneck + inplace ReLU crashes in
+    backward (``out += identity`` modifies the ReLU output in place,
+    ref res_block.py:202,225-227). Its eval forward still matches ours."""
+    torch_, _ = load_reference()
+
+    ref_b, our_b = _bottleneck_pair("PreBottleneck", "xnor_scaled", tmp_path)
+    ref_b.train()
+    x = torch_.randn(2, 64, 8, 8, requires_grad=True)
+    with pytest.raises(RuntimeError, match="inplace"):
+        ref_b(x).sum().backward()
+    # forward-only parity (eval mode), with WARMED BatchNorm stats: with
+    # fresh-init BN (mean 0, beta 0) the binary convs' exact-zero output
+    # atoms pass through BN unmoved and land exactly on the next sign()'s
+    # 0, where fp noise flips bits wholesale; realistic running stats
+    # shift the atoms off the boundary and the forwards agree tightly.
+    import jax.numpy as jnp
+
+    torch_.manual_seed(5)
+    ref_b.train()
+    with torch_.no_grad():
+        for _ in range(3):
+            ref_b(torch_.randn(8, 64, 8, 8))
+    transfer_weights(ref_b, our_b, str(tmp_path))
+    ref_b.eval(), our_b.eval()
+    xn = np.random.default_rng(0).standard_normal((2, 64, 8, 8)).astype(
+        np.float32)
+    with torch_.no_grad():
+        y_ref = ref_b(torch_.from_numpy(xn)).numpy()
+    y_our = np.transpose(
+        np.asarray(our_b(jnp.asarray(np.transpose(xn, (0, 2, 3, 1))))),
+        (0, 3, 1, 2))
+    d = np.abs(y_our - y_ref)
+    assert np.median(d) < 1e-5, np.median(d)
+    assert (d > 1e-3).mean() < 0.02, (d.max(), (d > 1e-3).mean())
 
 
 # -- (b) gradient parity ----------------------------------------------------
@@ -165,8 +270,37 @@ def test_gradient_parity_block_xnor_scaled(tmp_path):
     assert worst < 2e-2, sorted(diffs.items(), key=lambda kv: -kv[1])[:5]
 
 
+@pytest.mark.slow
 def test_gradient_parity_block_xnor_centered(tmp_path):
     ref_b, our_b = _small_pair("xnor_net_plus", tmp_path)
+    diffs = grad_diffs(ref_b, our_b)
+    assert diffs["__input__"] < 1e-4, diffs
+    assert max(diffs.values()) < 2e-2, \
+        sorted(diffs.items(), key=lambda kv: -kv[1])[:5]
+
+
+@pytest.mark.slow
+def test_parity_hblock(tmp_path):
+    """Hierarchical block (C8): same weights -> same outputs and input
+    gradients as the reference's HBlock (ReLU form; the reference's PReLU
+    sizing is broken — act1 gets planes/2 slopes for an inplanes-channel
+    tensor, ref hierarchical_block.py:33)."""
+    torch_, ref = load_reference()
+    from bnn.models.layers import HBlock as RefHBlock
+    from flax import nnx
+
+    from benchmarks.parity_vs_reference import _our_bconfig, _ref_bconfig
+    from bnn_tpu import prepare_binary_model
+    from bnn_tpu.models.layers import HBlock
+
+    torch_.manual_seed(1)
+    ref_b = ref.prepare_binary_model(
+        RefHBlock(16, 16, norm_layer=torch_.nn.BatchNorm2d),
+        _ref_bconfig("xnor_scaled"))
+    our_b = prepare_binary_model(HBlock(16, 16, rngs=nnx.Rngs(0)),
+                                 bconfig=_our_bconfig("xnor_scaled"))
+    transfer_weights(ref_b, our_b, str(tmp_path))
+    ref_b.eval(), our_b.eval()
     diffs = grad_diffs(ref_b, our_b)
     assert diffs["__input__"] < 1e-4, diffs
     assert max(diffs.values()) < 2e-2, \
@@ -190,20 +324,64 @@ def test_chef_parity_on_reference_test_yaml():
             assert r[name] == o[name], (step, name, r[name], o[name])
 
 
+@pytest.mark.slow
+def test_chef_parity_on_all_reference_recipes():
+    """Every runnable reference recipe asset drives BOTH engines to the
+    same per-step layer/binarizer report — including imagenet-baseline's
+    concrete ignore names (``layer2.0.downsample.1`` etc.,
+    ref examples/recepies/imagenet-baseline.yaml:13-15)."""
+    for rel in ("examples/recepies/xnor-net-plus.yaml",
+                "examples/recepies/imagenet-baseline.yaml"):
+        ref_rep, our_rep = compare_chefs(os.path.join(REFERENCE_PATH, rel))
+        assert len(ref_rep) == len(our_rep), rel
+        for step, (r, o) in enumerate(zip(ref_rep, our_rep)):
+            assert r == o, (rel, step,
+                            {k: (r.get(k), o.get(k))
+                             for k in set(r) | set(o) if r.get(k) != o.get(k)})
+
+
+@pytest.mark.slow
+def test_xnor_net_yaml_typo_handling():
+    """The reference's xnor-net.yaml ships an uppercase ``NAME:`` typo
+    (ref examples/recepies/xnor-net.yaml:6). The reference engine crashes
+    on it (AttributeError at bnn/engine.py:65-68); ours case-normalizes
+    recipe keys by design (SURVEY §7.5 document-and-fix list) and runs the
+    file with the intended Identity post-binarizer."""
+    torch_, _ = load_reference()
+    import bnn.engine as ref_engine
+    import bnn.models.resnet as ref_resnet
+    from flax import nnx
+
+    from bnn_tpu import BinaryChef, models
+    from bnn_tpu.ops import Identity
+
+    path = os.path.join(REFERENCE_PATH, "examples/recepies/xnor-net.yaml")
+    with pytest.raises(AttributeError):
+        ref_engine.BinaryChef(path).run_step(
+            ref_resnet.resnet18(num_classes=10), 0)
+    our = BinaryChef(path)
+    model = our.run_step(models.resnet18(num_classes=10, rngs=nnx.Rngs(0)), 0)
+    assert isinstance(model.layer1[0].conv1.activation_post_process,
+                      Identity)
+
+
 # -- (d) training-curve parity ----------------------------------------------
 
 @pytest.mark.slow
 def test_train_curve_parity_fp32_exact(tmp_path):
-    """All-Identity (fp32) config: no sign discontinuities, so the two
-    frameworks' loss curves must track each other tightly — this pins the
-    layer math, train-mode BN, CE loss, and Adam to the reference."""
-    ref_l, our_l = train_curves(config="fp32", n_steps=30,
+    """All-Identity (fp32) config on the tie-free smoke pair: no sign
+    discontinuities and no maxpool gradient ties (torch and XLA break
+    pooling ties over post-ReLU zeros differently, which drifts even fp32
+    ResNet curves — see build_smoke_pair), so the loss curves must track
+    each other to fp noise — this pins the layer math, train-mode BN, CE
+    loss, and Adam to the reference."""
+    ref_l, our_l = train_curves(config="fp32", n_steps=30, arch="smoke",
                                 tmpdir=str(tmp_path))
     d = np.abs(np.array(ref_l) - np.array(our_l))
     assert d[0] < 1e-4, (ref_l[0], our_l[0])
-    assert d.max() < 5e-2, (d.max(), list(zip(ref_l, our_l)))
+    assert d.max() < 5e-3, (d.max(), list(zip(ref_l, our_l)))
     # and it actually learned the same amount
-    assert abs(np.mean(ref_l[-5:]) - np.mean(our_l[-5:])) < 2e-2
+    assert abs(np.mean(ref_l[-5:]) - np.mean(our_l[-5:])) < 2e-3
 
 
 @pytest.mark.slow
