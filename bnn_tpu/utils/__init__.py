@@ -1,6 +1,7 @@
 from .meters import AverageMeter, ProgressMeter, accuracy, count_parameters
 from .checkpoint import (save_checkpoint, load_checkpoint, restore_into,
-                         optimizer_state_dict, restore_optimizer)
+                         optimizer_state_dict, restore_optimizer,
+                         gather_replicated)
 from .torch_import import (load_torch_file, torch_to_state_dict,
                            import_torch_checkpoint)
 from .flops import OpCount, count_ops
@@ -20,6 +21,7 @@ __all__ = [
     "count_parameters",
     "save_checkpoint",
     "load_checkpoint",
+    "gather_replicated",
     "optimizer_state_dict",
     "restore_optimizer",
     "restore_into",

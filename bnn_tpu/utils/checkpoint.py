@@ -26,7 +26,32 @@ __all__ = [
     "restore_into",
     "optimizer_state_dict",
     "restore_optimizer",
+    "gather_replicated",
 ]
+
+
+def gather_replicated(tree):
+    """Materialize every leaf of a (possibly host-sharded) pytree as a full
+    numpy array on EVERY process.
+
+    Multi-host checkpointing helper: with ZeRO-1 the optimizer moments are
+    sharded over the ``data`` axis (parallel/mesh.py shard_optimizer_zero1),
+    which on a multi-host mesh spans processes — host 0 cannot address the
+    remote shards, so a host-0-gated ``save_checkpoint`` would fail (or
+    write garbage). Call this on ALL hosts (it is a collective), then let
+    host 0 save the returned fully-replicated tree. Single-process sharded
+    arrays are simply densified; no collective runs.
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    def _gather(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x) if isinstance(x, jax.Array) else x
+
+    return jax.tree_util.tree_map(_gather, tree)
 
 
 def _checkpointer():
@@ -41,7 +66,14 @@ def save_checkpoint(path: str, model: nnx.Module, opt_state: Any = None,
     With ``is_best=True`` also copies to ``best_path`` (default
     ``path + '.best'``), mirroring the reference's best-model copy
     (examples/utils.py:62-68).
+
+    Multi-host safe: when ``jax.process_count() > 1`` EVERY process must
+    call this (it is a collective) — cross-host-sharded leaves (e.g.
+    ZeRO-1 optimizer moments over a multi-host ``data`` axis) are gathered
+    with :func:`gather_replicated`, then only process 0 writes the file.
     """
+    import jax
+
     path = os.path.abspath(path)
     state = nnx.state(model)
     payload = {"model": nnx.to_pure_dict(state)}
@@ -54,10 +86,16 @@ def save_checkpoint(path: str, model: nnx.Module, opt_state: Any = None,
         payload["opt_state"] = opt_state
     if metadata:
         payload["metadata"] = dict(metadata)
-    if os.path.exists(path):
+    primary = jax.process_index() == 0
+    if jax.process_count() > 1:
+        # gather cross-host shards to numpy on every host, then let orbax's
+        # own multihost protocol run (its save() is itself a collective —
+        # every process must enter it; the primary host does the writing)
+        payload = gather_replicated(payload)
+    if primary and os.path.exists(path):
         shutil.rmtree(path)
     _checkpointer().save(path, payload)
-    if is_best:
+    if is_best and primary:
         best = os.path.abspath(best_path or path + ".best")
         if os.path.exists(best):
             shutil.rmtree(best)

@@ -465,13 +465,17 @@ def main():
         acc1, acc5 = validate(args, model, eval_step, mesh, val_loader)
         if is_host0:
             print(f" * Epoch {epoch}: Acc@1 {acc1:.3f} Acc@5 {acc5:.3f}")
-            is_best = acc1 > best_acc1
-            best_acc1 = max(acc1, best_acc1)
-            save_checkpoint(
-                args.out, model, opt_state=optimizer,
-                metadata={"epoch": epoch + 1, "arch": args.arch,
-                          "best_acc1": best_acc1, "step": args.step},
-                is_best=is_best)
+        is_best = acc1 > best_acc1
+        best_acc1 = max(acc1, best_acc1)
+        # EVERY host calls save_checkpoint: with --zero1 on a multi-host
+        # mesh the optimizer moments are sharded across processes, and
+        # both the gather and orbax's save protocol are collectives (the
+        # primary host does the actual writing)
+        save_checkpoint(
+            args.out, model, opt_state=optimizer,
+            metadata={"epoch": epoch + 1, "arch": args.arch,
+                      "best_acc1": best_acc1, "step": args.step},
+            is_best=is_best)
 
 
 if __name__ == "__main__":

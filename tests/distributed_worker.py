@@ -84,6 +84,75 @@ metrics = step(model, optimizer, x, y)
 loss = float(metrics["loss"])
 assert np.isfinite(loss), loss
 
+# ZeRO-1 + multi-host checkpoint round-trip (VERDICT r3 next #4): shard the
+# optimizer moments over the CROSS-PROCESS data axis, save (collective
+# gather + host-0 write), restore into a fresh optimizer on every host,
+# re-shard, and verify the next step matches an uninterrupted run
+import tempfile  # noqa: E402
+
+from bnn_tpu.parallel import shard_optimizer_zero1  # noqa: E402
+from bnn_tpu.utils import (load_checkpoint, restore_into,  # noqa: E402
+                           restore_optimizer, save_checkpoint)
+
+shard_optimizer_zero1(optimizer, mesh, min_size=16)
+sharded_leaves = [
+    v for p, v in jax.tree_util.tree_leaves_with_path(nnx.state(optimizer))
+    if "opt_state" in jax.tree_util.keystr(p)
+    and hasattr(v, "is_fully_addressable") and not v.is_fully_addressable]
+assert sharded_leaves, "no cross-process-sharded optimizer leaves"
+
+ckpt_dir = os.path.join(tempfile.gettempdir(),
+                        f"dist_ckpt_{coordinator.split(':')[1]}")
+# train a fresh pair two steps, checkpoint it (sharded moments), restore
+# into a differently-seeded pair, and compare the following step against
+# the uninterrupted original
+model2 = prepare_binary_model(
+    nn.Sequential(
+        nn.Conv2d(3, 16, 3, padding=1, rngs=nnx.Rngs(0)),
+        nn.BatchNorm2d(16, rngs=nnx.Rngs(0)),
+        nn.PReLU(16, rngs=nnx.Rngs(0)),
+        nn.AdaptiveAvgPool2d(1),
+        nn.Flatten(),
+        nn.Linear(16, 4, rngs=nnx.Rngs(0)),
+    ),
+    bconfig=BConfig(BasicInputBinarizer, BasicScaleBinarizer,
+                    XNORWeightBinarizer),
+    ignore_layers_name=["_first_", "_last_"],
+)
+model2.train()
+opt2 = nnx.Optimizer(model2, optax.adam(1e-3), wrt=nnx.Param)
+shard_optimizer_zero1(opt2, mesh, min_size=16)
+step(model2, opt2, x, y)
+step(model2, opt2, x, y)
+save_checkpoint(ckpt_dir, model2, opt_state=opt2)  # collective on all hosts
+
+model3 = prepare_binary_model(
+    nn.Sequential(
+        nn.Conv2d(3, 16, 3, padding=1, rngs=nnx.Rngs(7)),
+        nn.BatchNorm2d(16, rngs=nnx.Rngs(7)),
+        nn.PReLU(16, rngs=nnx.Rngs(7)),
+        nn.AdaptiveAvgPool2d(1),
+        nn.Flatten(),
+        nn.Linear(16, 4, rngs=nnx.Rngs(7)),
+    ),
+    bconfig=BConfig(BasicInputBinarizer, BasicScaleBinarizer,
+                    XNORWeightBinarizer),
+    ignore_layers_name=["_first_", "_last_"],
+)
+model3.train()
+opt3 = nnx.Optimizer(model3, optax.adam(1e-3), wrt=nnx.Param)
+import jax.experimental.multihost_utils as mhu  # noqa: E402
+
+mhu.sync_global_devices("ckpt_written")
+payload = load_checkpoint(ckpt_dir)
+restore_into(model3, payload)
+assert restore_optimizer(opt3, payload) == []
+shard_optimizer_zero1(opt3, mesh, min_size=16)
+resumed = float(step(model3, opt3, x, y)["loss"])
+uninterrupted = float(step(model2, opt2, x, y)["loss"])
+assert abs(resumed - uninterrupted) < 1e-5, (resumed, uninterrupted)
+zero1_ok = 1
+
 # DistributedSampler-equivalent host shards must be disjoint across
 # processes and cover the dataset
 loader = NativeDataLoader(
@@ -92,5 +161,5 @@ loader = NativeDataLoader(
 loader.set_epoch(3)
 idx = sorted(int(i) for i in loader._epoch_indices())
 
-print(f"RESULT pid={pid} loss={loss:.6f} shard={','.join(map(str, idx))}",
-      flush=True)
+print(f"RESULT pid={pid} loss={loss:.6f} shard={','.join(map(str, idx))} "
+      f"zero1_ckpt={zero1_ok}", flush=True)
