@@ -167,6 +167,7 @@ class TestFuseBlocksPass:
         assert n == 2
         np.testing.assert_allclose(dep(x), expected, rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_large_batch_falls_back(self):
         dep = self._deployed_block_model()
         optimize_deployed(dep)

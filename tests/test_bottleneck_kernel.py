@@ -114,6 +114,7 @@ class TestFuseBottleneckPass:
         model.eval()
         return deploy(model, use_pallas=False)
 
+    @pytest.mark.slow
     def test_fuse_and_parity(self):
         dep = self._deployed()
         x = jax.random.normal(jax.random.key(2), (2, 8, 8, 16)) + 0.01

@@ -79,6 +79,7 @@ def test_quantized_conv_close(bits):
     assert rel < (0.01 if bits == 8 else 0.08)
 
 
+@pytest.mark.slow
 def test_quantize_float_layers_end_to_end():
     m = models.resnet18(num_classes=10, rngs=nnx.Rngs(0))
     m = prepare_binary_model(m, bconfig=_bconfig(),

@@ -107,6 +107,7 @@ class TestHeteroPipeline:
         ls, gs = jax.value_and_grad(loss_seq)(pipe.flat_params)
         return lp, gp, ls, gs
 
+    @pytest.mark.slow
     def test_grad_matches_sequential_float(self):
         """Exact grad check on FLOAT stages (no STE sign boundaries)."""
         rngs = nnx.Rngs(0)
@@ -126,6 +127,7 @@ class TestHeteroPipeline:
         np.testing.assert_allclose(lp, ls, rtol=1e-6)
         np.testing.assert_allclose(gp, gs, rtol=1e-4, atol=1e-6)
 
+    @pytest.mark.slow
     def test_grad_matches_sequential_binary(self):
         """Binarized stages: isolated STE-mask boundary flips (|x| ~ 1 under
         different f32 summation orders) make elementwise equality too
@@ -142,6 +144,7 @@ class TestHeteroPipeline:
         rel = float(jnp.linalg.norm(gp - gs) / jnp.linalg.norm(gs))
         assert rel < 0.05, rel
 
+    @pytest.mark.slow
     def test_trains_on_flat_buffer(self):
         """Adam on the flat buffer (the supported training mode) reduces the
         loss; padding rows stay exactly zero."""
@@ -174,6 +177,7 @@ class TestHeteroPipeline:
         for i, n in enumerate(sizes):
             np.testing.assert_array_equal(flat[i, n:], 0.0)
 
+    @pytest.mark.slow
     def test_state_round_trip(self):
         stages = list(_resnet_like_stages())
         mesh = make_pipeline_mesh(pipe=4, data=2)

@@ -362,6 +362,7 @@ class TestGroupedDeploy:
         with pytest.raises(NotImplementedError, match="grouped"):
             DeployedConv(layer, mode="im2col")
 
+    @pytest.mark.slow
     def test_bats_network_deploys(self):
         """deploy(BATS CIFAR net) must replace the grouped 3x3/5x5 convs
         with bitpacked layers and keep QAT parity."""

@@ -44,6 +44,7 @@ class TestResNet:
         assert model.layer1[0].act1.weight[...].shape == (64,)
         assert model(jnp.ones((1, 64, 64, 3))).shape == (1, 10)
 
+    @pytest.mark.slow
     def test_resnet50_bottleneck(self):
         model = models.resnet50(num_classes=7, rngs=nnx.Rngs(0))
         model.eval()
@@ -52,6 +53,7 @@ class TestResNet:
         assert model.fc.in_features == 2048
         assert model(jnp.ones((1, 64, 64, 3))).shape == (1, 7)
 
+    @pytest.mark.slow
     def test_resnet18_dabnn_stem(self):
         model = models.resnet18(stem_type="dabnn", num_classes=10, rngs=nnx.Rngs(0))
         model.eval()
@@ -139,6 +141,7 @@ class TestBatsNetworks:
         assert logits.shape == (2, 10)
         assert aux is None
 
+    @pytest.mark.slow
     def test_cifar_network_train_with_droppath_and_aux(self):
         net = models.BATSNetworkCIFAR(C=16, num_classes=10, layers=4,
                                       auxiliary=True,

@@ -1,4 +1,5 @@
 """Deployment graph-optimizer tests: BN folding parity."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -110,6 +111,7 @@ class TestPreActThresholdFold:
         assert n == 1
         np.testing.assert_allclose(dep(x), expected, rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.slow
     def test_negative_gamma_flip(self):
         rngs = nnx.Rngs(0)
         net = nn.Sequential(

@@ -96,6 +96,7 @@ class TestDataParallelTraining:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.slow
     def test_dp_loss_decreases(self):
         mesh = make_mesh()
         model = make_model()
@@ -256,6 +257,7 @@ class TestPipelineParallel:
         np.testing.assert_allclose(np.asarray(y_pipe), np.asarray(y_seq),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.slow
     def test_pipeline_single_microbatch_and_many(self):
         from bnn_tpu.parallel import (
             make_pipeline_mesh, make_stage_fn, pipeline_apply,
@@ -387,6 +389,7 @@ class TestZero1:
             assert "data" in tuple(x.sharding.spec), (
                 x.shape, x.sharding.spec)
 
+    @pytest.mark.slow
     def test_zero1_checkpoint_roundtrip_continuity(self, tmp_path):
         """Save/restore a ZeRO-1-sharded optimizer through Orbax on the
         8-device mesh and resume: the loss trajectory must match an

@@ -118,6 +118,7 @@ class TestFuseStagesPass:
         assert isinstance(dep.layer4, FusedStage)
         np.testing.assert_array_equal(dep(x), expected)
 
+    @pytest.mark.slow
     def test_pair_only_policy_composes_with_fuse_blocks(self):
         ref = _deployed_resnet18()
         x = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
@@ -191,6 +192,7 @@ class TestChainGenerality:
         np.testing.assert_array_equal(dep(x), expected)
 
 
+@pytest.mark.slow
 def test_stage_fallback_keeps_block_megakernels():
     """B > stage cap must fall back to PER-BLOCK megakernels, not the raw
     unfused ops (review r3): fuse_blocks wraps the inner blocks of a
@@ -213,6 +215,7 @@ def test_stage_fallback_keeps_block_megakernels():
     np.testing.assert_array_equal(dep(x1), ref(x1))    # B=1: chain kernel
 
 
+@pytest.mark.slow
 def test_fuse_head_into_last_stage():
     """The classifier avgpool + float fc fold into layer4's chain kernel;
     the fallback path still applies the original head modules."""

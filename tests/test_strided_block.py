@@ -186,6 +186,7 @@ class TestFusedDownBlockPass:
         assert fuse_blocks(dep, strided=True, interpret=True) == 0
         assert isinstance(dep[0].block, BasicBlock)
 
+    @pytest.mark.slow
     def test_resnet18_full_fusion_parity(self):
         """End to end: all 8 blocks of a binary ResNet-18 fuse (5 + 3).
 
@@ -257,6 +258,7 @@ class TestPreActDownBlockPass:
         assert blk.conv1.threshold is not None  # folded BN-before
         np.testing.assert_allclose(dep(x), expected, rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_preact_resnet18_all_blocks_fuse(self):
         from bnn_tpu import models
         from bnn_tpu.models.layers import PreBasicBlock

@@ -92,6 +92,7 @@ class TestTPServing:
             checked += 1
         assert checked >= 2, "expected at least conv+linear sharded"
 
+    @pytest.mark.slow
     def test_tp_resnet18_matches_replicated(self):
         """The flagship config: deployed binary ResNet-18 under 4-way TP."""
         from bnn_tpu import models

@@ -1,5 +1,6 @@
 """End-to-end QAT learning tests: a binarized CNN must GENERALIZE on a
 separable synthetic task (held-out accuracy), not just memorize."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -176,6 +177,7 @@ def test_deployed_model_preserves_accuracy():
     assert agreement > 0.97, agreement
 
 
+@pytest.mark.slow
 def test_progressive_recipe_training_flow():
     """The flagship workflow: train stage 1 (binary activations), advance the
     recipe (binary weights, update=True), keep training — weights carry over,
