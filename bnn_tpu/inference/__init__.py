@@ -17,6 +17,7 @@ from .deploy import (
     packed_weight_bytes,
     set_gemm_impl,
 )
+from .export import ExportedServer, export_serving, load_serving
 from .tp import shard_tp_state, tag_tensor_parallel, tp_state_specs
 from .tp_packed import (
     PackedTPLayer,
@@ -31,6 +32,9 @@ __all__ = [
     "packed_tp_chain",
     "ici_bytes_per_layer",
     "Predictor",
+    "ExportedServer",
+    "export_serving",
+    "load_serving",
     "FusedStem",
     "fuse_stem",
     "SpaceToDepthConv",

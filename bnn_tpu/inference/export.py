@@ -1,0 +1,186 @@
+"""Serving-artifact export: freeze a ``Predictor`` into an on-disk bundle.
+
+The reference framework has no deployment story at all — it binarizes
+tensors in fp32 and stops at the trained torch module (reference
+README.md:22).  On TPU the natural deployment unit is the *compiled
+program*: everything a ``Predictor`` does (deployed layers, folded
+epilogues, megakernels, bf16 casts, fixed-batch padding) is a single
+traced computation, so it can be serialized with :mod:`jax.export` as a
+StableHLO artifact plus a flat list of weight leaves.
+
+    predictor = Predictor.from_model(model, batch_size=32)
+    export_serving(predictor, "r18.bnnx", input_shape=(224, 224, 3))
+
+    server = load_serving("r18.bnnx")     # needs only jax + numpy
+    logits = server(images)               # same padding semantics
+
+Design points:
+
+- The exported function takes ``(leaves, x)`` where ``leaves`` is a plain
+  *list* of arrays — the nnx graph/state structure is dissolved at export
+  time, so loading requires neither flax nor any bnn_tpu model class.
+- The program is compiled for the platform(s) it was exported for
+  (``meta["platforms"]``); ``jax.export`` refuses execution elsewhere.
+  Pallas megakernels serialize as TPU custom calls — export the fused
+  pipeline on the hardware that will serve it, or build the predictor
+  with ``use_pallas=False`` for a portable XLA-only artifact (pass
+  ``platforms=("tpu", "cpu")`` for an artifact that runs on both).
+- Batch shape is static (one executable per bundle, ``batch_size`` rides
+  in ``meta.json``); the loader reproduces ``Predictor.__call__``'s
+  pad-to-multiple / split / strip semantics exactly.
+- Compatibility horizon is jax.export's: artifacts are readable by newer
+  jax for the documented backward-compatibility window.
+
+Bundle layout (a directory)::
+
+    program.jaxir   serialized jax.export.Exported (StableHLO)
+    state.npz       weight leaves, key = leaf index
+    meta.json       batch_size, dtypes, input signature, platforms
+
+Multi-chip note: ``Predictor(mesh=...)`` programs close over a live mesh
+(shard_map); v1 exports single-device programs only — shard requests
+across processes at the serving layer instead.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["export_serving", "load_serving", "ExportedServer"]
+
+_FORMAT_VERSION = 1
+_PROGRAM = "program.jaxir"
+_STATE = "state.npz"
+_META = "meta.json"
+
+
+def export_serving(predictor, path: str, input_shape: Sequence[int], *,
+                   platforms: Optional[Sequence[str]] = None) -> None:
+    """Serialize ``predictor`` to a self-contained bundle at ``path``.
+
+    ``input_shape`` is the per-example shape (no batch dim), e.g.
+    ``(224, 224, 3)``. ``platforms`` optionally lowers for several
+    backends (e.g. ``("tpu", "cpu")``) — only possible for predictors
+    without Pallas kernels (``use_pallas=False``).
+    """
+    from jax import export as jax_export
+
+    if predictor.mesh is not None:
+        raise ValueError(
+            "export_serving supports single-device predictors only: a "
+            "mesh-sharded program closes over a live device mesh. Export "
+            "a mesh=None predictor and shard requests at the serving "
+            "layer.")
+
+    leaves = [jnp.asarray(l) for l in jax.tree.flatten(predictor._state)[0]]
+    treedef = jax.tree.structure(predictor._state)
+    graphdef = predictor._graphdef
+
+    def _flat_run(flat, x):
+        from flax import nnx  # export-time only; not needed to load
+
+        state = jax.tree.unflatten(treedef, flat)
+        out = nnx.merge(graphdef, state)(x)
+        return out[0] if isinstance(out, tuple) else out
+
+    x_aval = jax.ShapeDtypeStruct(
+        (predictor.batch_size, *input_shape), predictor.dtype)
+    leaf_avals = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    exported = jax_export.export(jax.jit(_flat_run), **kwargs)(
+        leaf_avals, x_aval)
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _PROGRAM), "wb") as f:
+        f.write(exported.serialize())
+    # bfloat16 has no numpy wire format — store a raw uint16 view + a
+    # dtype tag so the loader can reconstruct it
+    arrays, dtypes = {}, []
+    for i, leaf in enumerate(leaves):
+        a = np.asarray(jax.device_get(leaf))
+        dtypes.append(str(a.dtype))
+        if a.dtype == jnp.bfloat16:
+            a = a.view(np.uint16)
+        arrays[f"leaf_{i:05d}"] = a
+    np.savez(os.path.join(path, _STATE), **arrays)
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "batch_size": predictor.batch_size,
+        "input_shape": list(input_shape),
+        "input_dtype": str(np.dtype(predictor.dtype)
+                           if predictor.dtype != jnp.bfloat16 else "bfloat16"),
+        "n_leaves": len(leaves),
+        "leaf_dtypes": dtypes,
+        "platforms": list(exported.platforms),
+    }
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+class ExportedServer:
+    """A loaded serving bundle: callable with ``Predictor`` semantics."""
+
+    def __init__(self, exported, leaves, meta: dict):
+        self._exported = exported
+        self._leaves = leaves
+        self.meta = meta
+        self.batch_size = int(meta["batch_size"])
+        self.input_shape: Tuple[int, ...] = tuple(meta["input_shape"])
+        self.platforms: Tuple[str, ...] = tuple(meta["platforms"])
+        self.dtype = jnp.dtype(meta["input_dtype"])
+        self._forward = jax.jit(exported.call)
+
+    def __call__(self, x) -> jax.Array:
+        x = jnp.asarray(x, self.dtype)
+        if x.shape[1:] != self.input_shape:
+            raise ValueError(
+                f"input shape {x.shape[1:]} != exported signature "
+                f"{self.input_shape}")
+        n, bs = x.shape[0], self.batch_size
+        padded_n = -(-n // bs) * bs
+        if padded_n != n:
+            pad = [(0, padded_n - n)] + [(0, 0)] * (x.ndim - 1)
+            x = jnp.pad(x, pad)
+        outs = [self._forward(self._leaves, x[i:i + bs])
+                for i in range(0, padded_n, bs)]
+        out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+        return out[:n]
+
+    def state_bytes(self) -> int:
+        return sum(l.size * l.dtype.itemsize for l in self._leaves)
+
+
+def load_serving(path: str) -> ExportedServer:
+    """Load a bundle written by :func:`export_serving`.
+
+    Requires only jax + numpy: the program is deserialized StableHLO and
+    the weights are a flat leaf list — no flax, no model classes.
+    """
+    from jax import export as jax_export
+
+    meta_path = os.path.join(path, _META)
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(f"not a serving bundle (no {_META}): {path}")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported bundle format {meta.get('format_version')!r} "
+            f"(loader supports {_FORMAT_VERSION})")
+    with open(os.path.join(path, _PROGRAM), "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    npz = np.load(os.path.join(path, _STATE))
+    leaves = []
+    for i, dt in enumerate(meta["leaf_dtypes"]):
+        a = npz[f"leaf_{i:05d}"]
+        if dt == "bfloat16":
+            a = a.view(jnp.bfloat16)
+        leaves.append(jnp.asarray(a))
+    return ExportedServer(exported, leaves, meta)

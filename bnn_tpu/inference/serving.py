@@ -155,6 +155,15 @@ class Predictor:
                 out_specs=x_spec, check_vma=False)
             self._forward = jax.jit(sharded)
 
+    def export(self, path: str, input_shape, *, platforms=None) -> None:
+        """Freeze this predictor into an on-disk serving bundle
+        (StableHLO program + flat weight leaves) loadable with
+        ``bnn_tpu.inference.load_serving`` — no flax or model classes
+        needed at load time. See :mod:`bnn_tpu.inference.export`."""
+        from .export import export_serving
+
+        export_serving(self, path, input_shape, platforms=platforms)
+
     def served_model(self) -> nnx.Module:
         """Re-materialize the deployed model being served (graphdef merged
         with the live — possibly sharded — state). Public accessor so tools

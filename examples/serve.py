@@ -18,6 +18,10 @@ Pipeline inside ``Predictor`` (one call):
                   small batch (TPU only)
   bf16         -> float path cast to bf16, fixed-batch jit
 
+``--export PATH`` freezes the predictor into an on-disk serving bundle
+(StableHLO program + flat weights, inference/export.py) and ``--load
+PATH`` serves from such a bundle — the load path needs no model code.
+
 Multi-chip: ``--data-parallel N`` batch-shards requests over chips with
 replicated weights (the reference's analogue is nn.DataParallel,
 examples/cifar10.py:76); ``--tensor-parallel N`` instead shards every
@@ -67,6 +71,12 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--size", type=int, default=224)
     ap.add_argument("--requests", type=int, default=4)
+    ap.add_argument("--export", default=None, metavar="PATH",
+                    help="write a serving bundle (program + weights) and "
+                         "exit")
+    ap.add_argument("--load", default=None, metavar="PATH",
+                    help="serve from an exported bundle instead of "
+                         "building a model")
     ap.add_argument("--data-parallel", type=int, default=1,
                     help="batch-shard requests over N chips")
     ap.add_argument("--tensor-parallel", type=int, default=1,
@@ -74,6 +84,18 @@ def main():
     args = ap.parse_args()
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    if args.load:
+        from bnn_tpu.inference import load_serving
+
+        predictor = load_serving(args.load)
+        print(f"loaded bundle {args.load}: platforms "
+              f"{list(predictor.platforms)}, batch {predictor.batch_size}, "
+              f"state {predictor.state_bytes() / 1e6:.2f} MB")
+        args.batch_size = predictor.batch_size
+        args.size = predictor.input_shape[0]
+        serve_loop(predictor, args)
+        return
+
     common = dict(batch_size=args.batch_size, use_pallas=on_tpu,
                   fuse=on_tpu, quantize_float_bits=8)
     if args.data_parallel * args.tensor_parallel > 1:
@@ -97,6 +119,17 @@ def main():
     print(f"serving state: {predictor.state_bytes() / 1e6:.2f} MB, "
           f"batch {args.batch_size}, {mode}")
 
+    if args.export:
+        predictor.export(args.export,
+                         input_shape=(args.size, args.size, 3))
+        print(f"exported serving bundle to {args.export} "
+              f"(serve it with --load {args.export})")
+        return
+
+    serve_loop(predictor, args)
+
+
+def serve_loop(predictor, args):
     rng = np.random.default_rng(0)
     for i in range(args.requests):
         n = int(rng.integers(1, args.batch_size + 1))  # ragged request sizes
