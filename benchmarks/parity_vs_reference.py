@@ -40,6 +40,12 @@ import numpy as np
 
 REFERENCE_PATH = "/root/reference"
 
+# make `python benchmarks/parity_vs_reference.py` work from anywhere:
+# sys.path[0] is benchmarks/, not the repo root that holds bnn_tpu
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 _TORCH = None
 _REF = None
 

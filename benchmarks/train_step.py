@@ -25,8 +25,11 @@ Timing protocol: steps are chained through their state inside one jitted
 overhead) — host-side timers and even ``block_until_ready`` are unreliable
 over a tunneled device; see bnn_tpu/utils/timing.py.
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

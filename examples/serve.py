@@ -30,7 +30,11 @@ chip, per-layer all_gather over ICI — inference/tp.py). Both compose:
 ``--data-parallel 2 --tensor-parallel 4`` on 8 devices.
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -125,6 +125,20 @@ class TestExportRoundTrip:
         np.testing.assert_array_equal(np.asarray(server(x)),
                                       np.asarray(pred(x)))
 
+    def test_multi_platform_export(self, tmp_path):
+        """platforms=('cpu','tpu') lowers one portable XLA-only artifact
+        (possible because use_pallas=False — no TPU custom calls); it must
+        load and run on the CPU backend here."""
+        pred = self._predictor()
+        path = str(tmp_path / "bundle")
+        export_serving(pred, path, input_shape=(8, 8, 3),
+                       platforms=("cpu", "tpu"))
+        server = load_serving(path)
+        assert set(server.platforms) == {"cpu", "tpu"}
+        x = _rand(jax.random.key(5), (4, 8, 8, 3))
+        np.testing.assert_array_equal(np.asarray(server(x)),
+                                      np.asarray(pred(x)))
+
     def test_mesh_predictor_refused(self, tmp_path):
         mesh = jax.make_mesh((2,), ("data",))
         pred = Predictor.from_model(_bin_model(), batch_size=4,
