@@ -46,6 +46,15 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+# this is a CPU parity instrument: the reference runs CPU torch, so jax
+# must run the same f32 arithmetic. On the TPU backend convs execute at
+# reduced mantissa by default and the comparison measures hardware
+# precision, not framework parity. (The axon plugin forces its platform
+# from sitecustomize, so the config update is required, not just env.)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 _TORCH = None
 _REF = None
 
@@ -534,13 +543,24 @@ FORWARD_CASES = [
 
 def main():
     results = {}
+    failures = []
     for label, kwargs in FORWARD_CASES:
         ref_m, our_m, _ = make_pair(**kwargs)
-        results[f"forward_eval/{label}"] = forward_diff(ref_m, our_m)
-        results[f"forward_train/{label}"] = forward_diff(
+        d_eval = results[f"forward_eval/{label}"] = forward_diff(ref_m, our_m)
+        d_train = results[f"forward_train/{label}"] = forward_diff(
             ref_m, our_m, train_mode=True)
-        print(f"{label}: eval {results[f'forward_eval/{label}']:.2e} "
-              f"train {results[f'forward_train/{label}']:.2e}", flush=True)
+        # eval-mode logits are the parity oracle (tolerance 1e-4).
+        # train-mode on BINARY configs is reported for completeness but is
+        # inherently chaotic: batch-stat BN shifts sit exactly on sign()
+        # kinks, so ~1e-7 backend noise flips activation bits and whole
+        # channels diverge — the same pair matches at <1e-3 on fp32
+        # configs (tests/test_reference_parity.py documents this)
+        ok = d_eval < 1e-4
+        if not ok:
+            failures.append(label)
+        print(f"{label}: eval {d_eval:.2e} [{'OK' if ok else 'FAIL'}] "
+              f"train {d_train:.2e} [chaotic-by-design on binary configs]",
+              flush=True)
 
     ref_rep, our_rep = compare_chefs(
         os.path.join(REFERENCE_PATH, "test/assets/test.yaml"))
@@ -558,7 +578,14 @@ def main():
               f"final10 ref {np.mean(ref_l[-10:]):.4f} "
               f"ours {np.mean(our_l[-10:]):.4f}", flush=True)
 
+    if not results["chef_steps_equal"]:
+        failures.append("chef")
     print(json.dumps(results))
+    if failures:
+        print(f"PARITY FAIL: {failures}", flush=True)
+        sys.exit(1)
+    print("PARITY OK: all eval-mode forwards < 1e-4, chef steps equal",
+          flush=True)
 
 
 if __name__ == "__main__":

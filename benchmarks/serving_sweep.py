@@ -46,7 +46,12 @@ def main():
     ap.add_argument("--pre", action="store_true",
                     help="pre-activation PReLU config (the reference's "
                          "ImageNet recipe)")
+    ap.add_argument("--arch", default="resnet18",
+                    choices=["resnet18", "resnet34", "resnet50"])
+    ap.add_argument("--stem", default="basic", choices=["basic", "dabnn"])
     ap.add_argument("--size", type=int, default=224)
+    ap.add_argument("--batches", type=int, nargs="*",
+                    default=[1, 2, 4, 8, 16, 32, 64])
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -57,7 +62,9 @@ def main():
     with jax.default_device(cpu):
         kw = (dict(block_type=PreBasicBlock, activation=nn.PReLU)
               if args.pre else {})
-        m = models.resnet18(num_classes=1000, rngs=nnx.Rngs(0), **kw)
+        build = getattr(models, args.arch)
+        m = build(num_classes=1000, stem_type=args.stem,
+                  rngs=nnx.Rngs(0), **kw)
         m = prepare_binary_model(m, bconfig=BC,
                                  ignore_layers_name=["_first_", "_last_"])
         m.eval()
@@ -76,7 +83,7 @@ def main():
     rng = np.random.RandomState(0)
     print(f"{'batch':>6} {'latency':>12} {'per-img':>10} {'img/s':>9}",
           flush=True)
-    for b in (1, 2, 4, 8, 16, 32, 64):
+    for b in args.batches:
         with jax.default_device(cpu):
             x = jnp.asarray(rng.randn(b, args.size, args.size, 3),
                             jnp.bfloat16)

@@ -97,6 +97,24 @@ def test_imagenet_resume_restores_optimizer(tmp_path, monkeypatch, capsys):
     assert "Epoch[1]" in out and "Epoch[0]" not in out  # resumed at epoch 1
 
 
+@pytest.mark.slow
+def test_serve_example_export_load(tmp_path, monkeypatch, capsys):
+    """--export writes a serving bundle, --load serves from it — the full
+    deployment-artifact flow through the CLI."""
+    import examples  # noqa: F401
+    bundle = str(tmp_path / "bundle")
+    _run("examples/serve.py",
+         ["--num-classes", "10", "--size", "32", "--batch-size", "2",
+          "--export", bundle], monkeypatch)
+    out = capsys.readouterr().out
+    assert "exported serving bundle" in out
+    _run("examples/serve.py",
+         ["--load", bundle, "--requests", "2"], monkeypatch)
+    out = capsys.readouterr().out
+    assert "loaded bundle" in out
+    assert "request 1:" in out
+
+
 def test_serve_example_tensor_parallel(monkeypatch, capsys):
     """--tensor-parallel serving on the virtual 8-device mesh."""
     import examples  # noqa: F401
