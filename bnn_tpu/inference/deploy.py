@@ -36,6 +36,8 @@ from __future__ import annotations
 
 
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from flax import nnx
@@ -436,7 +438,7 @@ def _eligible(m) -> bool:
     return True
 
 
-def deploy(model: nnx.Module, *, use_pallas: bool = True,
+def deploy(model: nnx.Module, *, use_pallas: Optional[bool] = None,
            interpret: bool = False, weight_format: str = "packed") -> nnx.Module:
     """Replace eligible binary layers with bitpacked deployed layers.
 
@@ -444,9 +446,15 @@ def deploy(model: nnx.Module, *, use_pallas: bool = True,
     unpacked to int8 in-graph) or ``'int8'`` (8x compression, zero unpack
     work — the latency-optimal serving format).
 
+    ``use_pallas=None`` resolves by platform: Pallas kernels on TPU, the
+    exact XLA fallback elsewhere (Mosaic kernels don't run on CPU outside
+    interpret mode).
+
     Returns the mutated model (or the replacement module if the model itself
     is a single eligible layer). Ineligible layers are left as-is.
     """
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform != "cpu"
     replacements = {}
     for name, m in named_modules(model):
         if _eligible(m):

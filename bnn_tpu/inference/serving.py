@@ -41,12 +41,16 @@ class Predictor:
 
     def __init__(self, model: nnx.Module, *, batch_size: int = 32,
                  weight_format: str = "int8", dtype=jnp.bfloat16,
-                 use_pallas: bool = True, fold_bn: bool = True,
+                 use_pallas: Optional[bool] = None, fold_bn: bool = True,
                  space_to_depth: bool = True, fuse: Optional[bool] = None,
                  max_fused_batch: int = 4, mesh=None, batch_axis: str = "data",
                  tensor_parallel: bool = False, model_axis: str = "model",
                  binary_gemm_impl: str = "mxu",
                  quantize_float_bits: Optional[int] = None):
+        if use_pallas is None:
+            # platform auto-detect: Mosaic kernels are TPU-only, so CPU
+            # users get the exact XLA fallback from plain defaults
+            use_pallas = jax.devices()[0].platform != "cpu"
         if tensor_parallel:
             assert mesh is not None and mesh.shape[model_axis] > 1, (
                 "tensor_parallel needs a mesh with a >1 model axis")

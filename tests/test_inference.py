@@ -266,6 +266,18 @@ class TestPredictor:
             (jnp.argmax(out, -1) == ref_preds).astype(jnp.float32)))
         assert agreement >= 0.8
 
+    def test_predictor_defaults_resolve_by_platform(self):
+        """Predictor()/deploy() with NO arguments must work on CPU:
+        use_pallas=None auto-resolves to the exact XLA fallback off-TPU
+        (Mosaic kernels would crash here)."""
+        model = TestDeployModel()._bin_model()
+        model.eval()
+        pred = Predictor.from_model(model)      # all defaults
+        x = _rand_no_zeros(jax.random.key(44), (2, 8, 8, 3))
+        assert pred(np.asarray(x)).shape == (2, 10)
+        dep = deploy(TestDeployModel()._bin_model())  # deploy() defaults too
+        assert dep(x).shape == (2, 10)
+
     def test_predictor_from_checkpoint(self, tmp_path):
         from bnn_tpu.inference import Predictor
         from bnn_tpu.utils import save_checkpoint
