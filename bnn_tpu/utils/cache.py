@@ -8,9 +8,34 @@ backend doesn't support serialization (JAX logs and skips).
 """
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
 __all__ = ["enable_compilation_cache"]
+
+
+def _machine_tag() -> str:
+    """A fingerprint of the host CPU's ISA features.
+
+    XLA:CPU cache entries are AOT-compiled machine code; an entry built on
+    a host with (say) AMX/prefer-no-scatter aborts or SIGILLs when loaded
+    on a host without them — observed when a cache directory survives
+    across heterogeneous machines. Keying the cache dir by the feature set
+    makes each machine population disjoint. TPU executables are keyed by
+    topology inside XLA already, but they live in the same directory, so
+    they are partitioned along with it (worst case: a recompile)."""
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    feats += " " + " ".join(sorted(line.split()[2:]))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+
 
 def _default_dir() -> str:
     # In a source checkout (repo root has .git and is writable) keep the
@@ -19,9 +44,11 @@ def _default_dir() -> str:
     repo = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     if os.path.isdir(os.path.join(repo, ".git")) and os.access(repo, os.W_OK):
-        return os.path.join(repo, ".jax_cache")
-    return os.path.join(os.path.expanduser("~"), ".cache", "bnn_tpu",
-                        "jax_cache")
+        base = os.path.join(repo, ".jax_cache")
+    else:
+        base = os.path.join(os.path.expanduser("~"), ".cache", "bnn_tpu",
+                            "jax_cache")
+    return os.path.join(base, _machine_tag())
 
 
 def enable_compilation_cache(path: str | None = None) -> str:
