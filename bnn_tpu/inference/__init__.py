@@ -8,7 +8,8 @@ from .compress import (
     state_bytes,
 )
 from .stem import FusedStem, SpaceToDepthConv, fuse_stem, space_to_depth_stem
-from .stages import FusedStage, fuse_head, fuse_stages
+from .stages import (FusedEntry, FusedStage, fuse_entry, fuse_head,
+                     fuse_stages)
 from .deploy import (
     DeployedConv,
     DeployedLinear,
@@ -41,6 +42,8 @@ __all__ = [
     "space_to_depth_stem",
     "FusedBlock",
     "FusedStage",
+    "FusedEntry",
+    "fuse_entry",
     "default_fuse_predicate",
     "fuse_blocks",
     "fuse_stages",

@@ -108,6 +108,12 @@ class Predictor:
             # classifier avgpool + float fc fold into the last stage's
             # kernel (skipped automatically for quantized heads)
             fuse_head(model)
+            # NOT applied: inference.fuse_entry (stem+layer1 as ONE
+            # dispatch — the only junction without a stride-2 W-merge in
+            # the way). Measured a wash at the whole-model level (B=1
+            # 62us either way, v5e): TPU dispatches have no launch
+            # overhead, so the five-dispatch structure is already at its
+            # floor. Kept as an opt-in; see stages.FusedEntry.
         if dtype is not None:
             cast_floats(model, dtype)
         self.batch_size = batch_size

@@ -30,7 +30,7 @@ from __future__ import annotations
 from flax import nnx
 
 from ..binarize import named_modules, set_module_by_name
-from ..kernels.model import BlockParams, fused_chain
+from ..kernels.model import BlockParams, fused_chain, fused_stem_chain
 from ..models.layers import BasicBlock, PreBasicBlock
 from .. import nn
 from .megablock import (
@@ -41,7 +41,8 @@ from .megablock import (
     _eligible_pre,
 )
 
-__all__ = ["FusedStage", "fuse_stages", "fuse_head"]
+__all__ = ["FusedStage", "FusedEntry", "fuse_stages", "fuse_head",
+           "fuse_entry"]
 
 
 def _thr(conv):
@@ -227,6 +228,70 @@ def fuse_stages(model: nnx.Module, *, max_fused_batch: int = 4,
             m, kind=kind.replace("pre-", ""), pre=pre,
             max_fused_batch=max_fused_batch, interpret=interpret))
         done.append(name + ".")
+        fused += 1
+    return fused
+
+
+class FusedEntry(nnx.Module):
+    """The network ENTRY — float stem AND the stride-1 layer1 stage — as
+    ONE dispatch (:func:`~bnn_tpu.kernels.model.fused_stem_chain`).
+
+    The stem→layer1 junction is the only one that can merge past the
+    five-dispatch structure (every other boundary enters a stride-2 stage,
+    whose W-pair merge Mosaic rejects in-kernel). Measured on v5e, binary
+    R18, B=1: stem+pair in isolation 33.0us split → 31.5us merged, but at
+    the WHOLE-MODEL level the difference is inside the run-to-run noise
+    (~62us either way, 5 interleaved A/B rounds) — TPU dispatches have no
+    launch overhead and the stem output's HBM round trip is <1us, so the
+    five-dispatch pipeline was already at its floor. Hence this is an
+    OPT-IN (``fuse_entry`` after the standard passes), not a Predictor
+    default; it exists to settle the "merge further?" question with a
+    measurement and to serve as the template if a bigger-VMEM part makes
+    whole-trunk fusion viable. Bit-exact with the split pipeline: the
+    kernel rounds the stem activation to the serving dtype at the same
+    point the split kernel boundary would. Holds the original
+    :class:`~bnn_tpu.inference.stem.FusedStem` and :class:`FusedStage`
+    (same arrays) for the above-cap / odd-geometry fallback.
+    """
+
+    def __init__(self, stem, stage: FusedStage):
+        self.stem = stem
+        self.stage = stage
+
+    def __call__(self, x):
+        n, h, w, _ = x.shape
+        if (n <= self.stage.max_fused_batch and h % 16 == 0 and w % 8 == 0):
+            inner = self.stem._inner()
+            bias = inner.bias[...] if inner.bias is not None else None
+            return fused_stem_chain(
+                x, inner.kernel[...], bias, self.stage._params(),
+                act=self.stage._acts, pre=self.stage.pre,
+                zero_to_one=self.stage._z21, out_dtype=x.dtype,
+                interpret=self.stage.interpret)
+        return self.stage(self.stem(x))
+
+
+def fuse_entry(model: nnx.Module) -> int:
+    """Merge a fused stem with the fused stride-1 layer1 that follows it
+    (in place); apply AFTER :func:`~bnn_tpu.inference.stem.fuse_stem` and
+    :func:`fuse_stages`. Returns the number of entries merged."""
+    from ..models.resnet import ResNet
+    from .stem import FusedStem
+
+    fused = 0
+    for _, m in named_modules(model):
+        if not isinstance(m, ResNet):
+            continue
+        stem, stage = getattr(m, "conv1", None), getattr(m, "layer1", None)
+        if not (isinstance(stem, FusedStem) and isinstance(stage, FusedStage)):
+            continue  # also makes the pass idempotent: a merged entry is
+            # a FusedEntry, not a FusedStem
+        if stage.kind != "pair" or stage._head is not None:
+            continue
+        if stage._metas[0][1] != stem._inner().out_channels:
+            continue
+        m.conv1 = FusedEntry(stem, stage)
+        m.layer1 = nn.Identity()
         fused += 1
     return fused
 

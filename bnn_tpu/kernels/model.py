@@ -47,8 +47,9 @@ from .block import _apply_act
 from .strided_block import _transform_w1
 
 __all__ = ["BlockParams", "fused_chain", "fused_pair", "fused_down_stage",
-           "fused_pair_reference", "fused_down_stage_reference",
-           "fused_chain_reference"]
+           "fused_stem_chain", "fused_pair_reference",
+           "fused_down_stage_reference", "fused_chain_reference",
+           "fused_stem_chain_reference"]
 
 _ACTS = ("relu", "prelu", "identity")
 
@@ -331,6 +332,118 @@ def fused_pair(x, blocks, **kw):
     :func:`fused_chain`."""
     assert all(b.kind == "basic" for b in blocks)
     return fused_chain(x, blocks, **kw)
+
+
+def _stem_chain_kernel(x_ref, *refs, plan, acts, pre, z21, o):
+    from .stem import _stem_v3_body
+
+    stem_w, b_ref = refs[:8], refs[8]
+    blk_refs, out_ref = list(refs[9:-1]), refs[-1]
+    a = _stem_v3_body(x_ref[...], [w[...] for w in stem_w], b_ref[...], o)
+    # round the stem activation to the serving IO dtype exactly as the
+    # split (FusedStem -> FusedStage) pipeline does at its kernel
+    # boundary: keeping it f32 here would be *more* precise but would
+    # break bit-parity with the QAT forward at matched precision (sign
+    # thresholds see differently-rounded values)
+    a = a.astype(out_ref.dtype).astype(jnp.float32)
+    for _ in plan:  # all 'basic'
+        w1, w2, prm = blk_refs[:3]
+        blk_refs = blk_refs[3:]
+        a = _basic_body(a, w1[...], w2[...], prm[...],
+                        act1=acts[0], act2=acts[1], pre=pre, z21=z21)
+    out_ref[...] = a[None].astype(out_ref.dtype)
+
+
+def fused_stem_chain(
+    x: jax.Array,
+    w: jax.Array,
+    bias: Optional[jax.Array],
+    blocks: Sequence[BlockParams],
+    *,
+    act: str = "relu",
+    pre: bool = False,
+    zero_to_one: bool = True,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """The whole network ENTRY — float stem (conv7x7/s2 + bias + ReLU +
+    maxpool3x3/s2) AND the first stride-1 residual stage (layer1) — in ONE
+    kernel.
+
+    This is the only stage junction that can merge beyond the five-dispatch
+    structure: every other boundary enters a stride-2 stage, whose W-pair
+    lane merge Mosaic rejects in-kernel (module docstring). The stem's
+    post-maxpool tile feeds :func:`_basic_body` directly in VMEM (rounded
+    to the IO dtype first, so the result is bit-exact with the split
+    stem->pair pipeline). Measured on v5e B=1: ~1.5us faster than the two
+    kernels in isolation, but a WASH at whole-model level (dispatches have
+    no launch overhead; the avoided HBM round trip is <1us) — so serving
+    keeps this as an opt-in (inference.fuse_entry), not a default. Stem
+    math is :func:`~bnn_tpu.kernels.stem._stem_v3_body` (H-oct x W-quad
+    phases); batches run as a grid over images.
+
+    ``x``: ``(N, H, W, C<=4)`` raw input, ``H % 16 == 0``, ``W % 8 == 0``;
+    ``blocks``: layer1's stride-1 BlockParams (``ci == stem out``).
+    """
+    from .stem import _stem_v3_prepare
+
+    n, h, ws, c = x.shape
+    assert n <= 8, f"batch {n}: above the megakernel cap, use XLA paths"
+    plan = tuple(b.kind for b in blocks)
+    assert all(k == "basic" for k in plan), plan
+    o = w.shape[-1]
+    assert blocks[0].ci == o, (blocks[0].ci, o)
+    act1, act2 = (act, act) if isinstance(act, str) else act
+    assert act1 in _ACTS and act2 in _ACTS
+    hp, wp = h // 4, ws // 4
+    co = blocks[-1].co
+    out_dtype = x.dtype if out_dtype is None else out_dtype
+
+    xwr, was, bf = _stem_v3_prepare(x, w, bias)
+    args = [xwr] + was + [bf]
+    for b in blocks:
+        args += b.arrays()
+
+    def idx_x(b):
+        return (b, 0, 0, 0)
+
+    def idx_c(b):  # weights: same block every grid step
+        return (0, 0)
+
+    flops = 2 * (h // 2) * (ws // 2) * 256 * o
+    for b in blocks:
+        flops += 2 * 2 * hp * wp * b.co * (9 * b.ci + b.ci)
+
+    return pl.pallas_call(
+        functools.partial(_stem_chain_kernel, plan=plan, acts=(act1, act2),
+                          pre=pre, z21=zero_to_one, o=o),
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, h, ws // 4, 16), idx_x,
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(a.shape, idx_c, memory_space=pltpu.VMEM)
+           for a in args[1:]],
+        out_specs=pl.BlockSpec((1, hp, wp, co), idx_x,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hp, wp, co), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops * n,
+            bytes_accessed=n * (h * ws * 4 * x.dtype.itemsize
+                                + hp * wp * co * 2),
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+
+
+def fused_stem_chain_reference(x, w, bias, blocks, *, act="relu", pre=False,
+                               zero_to_one=True, out_dtype=None):
+    """jnp oracle: the standalone stem reference feeding the chain
+    reference."""
+    from .stem import fused_stem_reference
+
+    y = fused_stem_reference(x, w, bias, out_dtype=jnp.float32)
+    return fused_chain_reference(y, blocks, act=act, pre=pre,
+                                 zero_to_one=zero_to_one,
+                                 out_dtype=out_dtype or x.dtype)
 
 
 def fused_down_stage(x, blocks, wfc=None, bfc=None, **kw):

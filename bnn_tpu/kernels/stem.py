@@ -425,14 +425,39 @@ def _phase_selectors_v3():
 _SELS_V3_CACHE = {}
 
 
-def _stem_v3_kernel(x_ref, *refs):
-    w_refs, b_ref, out_ref = refs[:8], refs[8], refs[9]
-    v = x_ref[...]  # (1, H, W/4, 16) bf16: W-quads on lanes (wq, c)
+def _stem_v3_prepare(x, w, bias):
+    """Host-side v3 prep: W-quad input slab + per-phase weight matrices.
+
+    Returns ``(xwr, was, bf)``: the ``(N, H, W/4, 16)`` input, the 8 phase
+    weights ``S_(a,b) @ w2d``, and the ``(1, O)`` f32 bias."""
+    n, h, ws, c = x.shape
+    assert c <= 4 and h % 16 == 0 and ws % 8 == 0, x.shape
+    o = w.shape[-1]
+    x4 = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 4 - c))) if c < 4 else x
+    xwr = x4.reshape(n, h, ws // 4, 16)
+    w2d = transform_stem_kernel(w).reshape(256, o).astype(x.dtype)
+    if "sels" not in _SELS_V3_CACHE:
+        _SELS_V3_CACHE["sels"] = _phase_selectors_v3()
+    sels = _SELS_V3_CACHE["sels"]
+    was = [jnp.asarray(sels[(a, b)], x.dtype) @ w2d
+           for a in range(4) for b in range(2)]
+    bf = (jnp.zeros((o,), jnp.float32) if bias is None
+          else bias.astype(jnp.float32)).reshape(1, o)
+    return xwr, was, bf
+
+
+def _stem_v3_body(v, w_vals, b_val, o):
+    """The v3 stem math on one image's W-quad slab.
+
+    ``v``: ``(1, H, W/4, 16)`` input slab (values, not refs); ``w_vals``:
+    the 8 phase weight matrices; ``b_val``: ``(1, o)`` bias. Returns the
+    post-maxpool stem output ``(H/4, W/4, o)`` in f32 — shared by the
+    standalone stem kernel and the stem+stage chain kernel
+    (kernels/model.py :func:`fused_stem_chain`)."""
     _, h, wq_n, c16 = v.shape
     no = h // 8            # octs
     pr = (h // 2) // 4     # conv rows per phase
     pc = wq_n              # conv cols per phase == W-quad count (W/4)
-    o = out_ref.shape[-1]
 
     # H-oct merge: raw rows 8G..8G+7 -> lanes (qi, wq, c)
     vp = v.reshape(no, 8, wq_n, c16)
@@ -450,10 +475,10 @@ def _stem_v3_kernel(x_ref, *refs):
             ]
             patches = (jnp.concatenate(slabs, axis=-1)
                        if len(slabs) > 1 else slabs[0])
-            acc = lax.dot_general(patches, w_refs[a * 2 + b][...],
+            acc = lax.dot_general(patches, w_vals[a * 2 + b],
                                   dimension_numbers=(((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-            ys[(a, b)] = jnp.maximum(acc + b_ref[...], 0.0).reshape(pr, pc, o)
+            ys[(a, b)] = jnp.maximum(acc + b_val, 0.0).reshape(pr, pc, o)
 
     # maxpool W across col phases: pooled col t = max(conv 2t-1, 2t, 2t+1)
     #   = max(b1[t-1], b0[t], b1[t]); pad b1 left with -inf
@@ -471,7 +496,14 @@ def _stem_v3_kernel(x_ref, *refs):
     p_even = jnp.maximum(jnp.maximum(a3_up, a0), a1)
     p_odd = jnp.maximum(jnp.maximum(a1, a2), a3)
     out = jnp.concatenate([p_even[:, None], p_odd[:, None]], axis=1)
-    out_ref[...] = out.reshape(1, 2 * pr, pc, o).astype(out_ref.dtype)
+    return out.reshape(2 * pr, pc, o)
+
+
+def _stem_v3_kernel(x_ref, *refs):
+    w_refs, b_ref, out_ref = refs[:8], refs[8], refs[9]
+    o = out_ref.shape[-1]
+    out = _stem_v3_body(x_ref[...], [w[...] for w in w_refs], b_ref[...], o)
+    out_ref[...] = out[None].astype(out_ref.dtype)
 
 
 def fused_stem_v3(
@@ -495,22 +527,10 @@ def fused_stem_v3(
     W % 8 == 0.
     """
     n, h, ws, c = x.shape
-    assert c <= 4 and h % 16 == 0 and ws % 8 == 0, x.shape
     o = w.shape[-1]
     hp, wp = h // 4, ws // 4
     out_dtype = x.dtype if out_dtype is None else out_dtype
-
-    x4 = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 4 - c))) if c < 4 else x
-    xwr = x4.reshape(n, h, ws // 4, 16)
-
-    w2d = transform_stem_kernel(w).reshape(256, o).astype(x.dtype)
-    if "sels" not in _SELS_V3_CACHE:
-        _SELS_V3_CACHE["sels"] = _phase_selectors_v3()
-    sels = _SELS_V3_CACHE["sels"]
-    was = [jnp.asarray(sels[(a, b)], x.dtype) @ w2d
-           for a in range(4) for b in range(2)]
-    bf = (jnp.zeros((o,), jnp.float32) if bias is None
-          else bias.astype(jnp.float32)).reshape(1, o)
+    xwr, was, bf = _stem_v3_prepare(x, w, bias)
 
     def idx_x(b):
         return (b, 0, 0, 0)

@@ -152,6 +152,45 @@ class TestFuseStagesPass:
         np.testing.assert_array_equal(dep(xb), expected)
 
 
+class TestFuseEntry:
+    """Stem + layer1 merged into one dispatch (inference.fuse_entry)."""
+
+    def _fused(self, entry: bool):
+        from bnn_tpu.inference import fuse_entry, fuse_stem
+        dep = _deployed_resnet18()
+        assert fuse_stem(dep, interpret=True) == 1
+        fuse_stages(dep, interpret=True)
+        if entry:
+            assert fuse_entry(dep) == 1
+        return dep
+
+    def test_merged_matches_split_bit_exact(self):
+        """The merged kernel runs the same stem body + block bodies as the
+        split (FusedStem -> FusedStage) pipeline — outputs identical."""
+        from bnn_tpu.inference import FusedEntry
+        from bnn_tpu import nn as fnn
+        x = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
+        split = self._fused(entry=False)
+        merged = self._fused(entry=True)
+        assert isinstance(merged.conv1, FusedEntry)
+        assert isinstance(merged.layer1, fnn.Identity)
+        np.testing.assert_array_equal(merged(x), split(x))
+
+    def test_merged_matches_unfused_model(self):
+        """Against the plain deployed graph: same math, different float
+        summation order (stem selector matmuls) — tight tolerance."""
+        ref = _deployed_resnet18()
+        x = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+        merged = self._fused(entry=True)
+        np.testing.assert_allclose(merged(x), ref(x), rtol=1e-4, atol=1e-4)
+
+    def test_above_cap_falls_back(self):
+        ref = _deployed_resnet18()
+        xb = jnp.asarray(rng.randn(5, 64, 64, 3), jnp.float32)
+        merged = self._fused(entry=True)  # stage cap = 4 < 5
+        np.testing.assert_allclose(merged(xb), ref(xb), rtol=1e-4, atol=1e-4)
+
+
 class TestChainGenerality:
     """fused_chain beyond pairs: ResNet-34-style 3+-block stages."""
 
