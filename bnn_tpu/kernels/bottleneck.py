@@ -23,8 +23,11 @@ zeroed after the sign (conv2's zero padding), exactly as in block.py.
 
 Scope: stride 1, identity OR 1x1-projection shortcut, groups=1 (13 of
 ResNet-50's 16 blocks: 12 identity + layer1.0's stride-1 projection; the
-3 strided bottlenecks stay on XLA). Measured on v5e: binary ResNet-50
-B=1 230us unfused -> 144us (1.6x, with the fused stem).
+3 strided bottlenecks stay on XLA). Measured on v5e (round 4, HONEST
+ternary config — the earlier "230->144us" here was taken before the
+degenerate-benchmark retraction): binary ResNet-50 B=1 845us unfused ->
+700us stem-fused -> ~220us with the full pipeline (stem + these
+bottleneck kernels), a 3.9x fusion win.
 """
 from __future__ import annotations
 
