@@ -447,14 +447,15 @@ def deploy(model: nnx.Module, *, use_pallas: Optional[bool] = None,
     work — the latency-optimal serving format).
 
     ``use_pallas=None`` resolves by platform: Pallas kernels on TPU, the
-    exact XLA fallback elsewhere (Mosaic kernels don't run on CPU outside
-    interpret mode).
+    exact XLA fallback elsewhere (Mosaic kernels don't run on CPU/GPU) —
+    except under ``interpret=True``, which forces the kernel paths in
+    Pallas interpret mode (the documented way to exercise them off-TPU).
 
     Returns the mutated model (or the replacement module if the model itself
     is a single eligible layer). Ineligible layers are left as-is.
     """
     if use_pallas is None:
-        use_pallas = jax.devices()[0].platform != "cpu"
+        use_pallas = interpret or jax.devices()[0].platform == "tpu"
     replacements = {}
     for name, m in named_modules(model):
         if _eligible(m):

@@ -48,9 +48,9 @@ class Predictor:
                  binary_gemm_impl: str = "mxu",
                  quantize_float_bits: Optional[int] = None):
         if use_pallas is None:
-            # platform auto-detect: Mosaic kernels are TPU-only, so CPU
-            # users get the exact XLA fallback from plain defaults
-            use_pallas = jax.devices()[0].platform != "cpu"
+            # platform auto-detect: Mosaic kernels are TPU-only, so CPU/
+            # GPU users get the exact XLA fallback from plain defaults
+            use_pallas = jax.devices()[0].platform == "tpu"
         if tensor_parallel:
             assert mesh is not None and mesh.shape[model_axis] > 1, (
                 "tensor_parallel needs a mesh with a >1 model axis")

@@ -437,13 +437,16 @@ def fused_stem_chain(
 def fused_stem_chain_reference(x, w, bias, blocks, *, act="relu", pre=False,
                                zero_to_one=True, out_dtype=None):
     """jnp oracle: the standalone stem reference feeding the chain
-    reference."""
+    reference, with the stem activation rounded to the IO dtype at the
+    same point the kernel rounds it (sign thresholds in block 1 must see
+    identically-rounded values)."""
     from .stem import fused_stem_reference
 
-    y = fused_stem_reference(x, w, bias, out_dtype=jnp.float32)
-    return fused_chain_reference(y, blocks, act=act, pre=pre,
-                                 zero_to_one=zero_to_one,
-                                 out_dtype=out_dtype or x.dtype)
+    io_dtype = out_dtype or x.dtype
+    y = fused_stem_reference(x, w, bias, out_dtype=io_dtype)
+    return fused_chain_reference(y.astype(jnp.float32), blocks, act=act,
+                                 pre=pre, zero_to_one=zero_to_one,
+                                 out_dtype=io_dtype)
 
 
 def fused_down_stage(x, blocks, wfc=None, bfc=None, **kw):

@@ -44,11 +44,9 @@ def _default_dir() -> str:
     repo = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     if os.path.isdir(os.path.join(repo, ".git")) and os.access(repo, os.W_OK):
-        base = os.path.join(repo, ".jax_cache")
-    else:
-        base = os.path.join(os.path.expanduser("~"), ".cache", "bnn_tpu",
-                            "jax_cache")
-    return os.path.join(base, _machine_tag())
+        return os.path.join(repo, ".jax_cache")
+    return os.path.join(os.path.expanduser("~"), ".cache", "bnn_tpu",
+                        "jax_cache")
 
 
 def enable_compilation_cache(path: str | None = None) -> str:
@@ -59,6 +57,10 @@ def enable_compilation_cache(path: str | None = None) -> str:
     import jax
 
     path = path or os.environ.get("BNN_TPU_JAX_CACHE") or _default_dir()
+    # machine-key EVERY cache dir, not just the default: a shared
+    # (env-var/NFS) directory across heterogeneous machines hits the same
+    # XLA:CPU AOT abort the fingerprint exists to prevent
+    path = os.path.join(path, _machine_tag())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # cache everything that takes meaningful time; tiny graphs stay uncached

@@ -270,6 +270,8 @@ class TestPredictor:
         """Predictor()/deploy() with NO arguments must work on CPU:
         use_pallas=None auto-resolves to the exact XLA fallback off-TPU
         (Mosaic kernels would crash here)."""
+        from bnn_tpu.inference import Predictor
+
         model = TestDeployModel()._bin_model()
         model.eval()
         pred = Predictor.from_model(model)      # all defaults

@@ -176,6 +176,16 @@ class TestFuseEntry:
         assert isinstance(merged.layer1, fnn.Identity)
         np.testing.assert_array_equal(merged(x), split(x))
 
+    def test_merged_matches_split_bf16(self):
+        """At bf16 IO the kernel rounds the stem activation to bf16 at the
+        same point the split kernel boundary does — still bit-exact."""
+        x = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.bfloat16)
+        split = self._fused(entry=False)
+        merged = self._fused(entry=True)
+        np.testing.assert_array_equal(
+            np.asarray(merged(x), np.float32),
+            np.asarray(split(x), np.float32))
+
     def test_merged_matches_unfused_model(self):
         """Against the plain deployed graph: same math, different float
         summation order (stem selector matmuls) — tight tolerance."""
