@@ -46,14 +46,19 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-# this is a CPU parity instrument: the reference runs CPU torch, so jax
-# must run the same f32 arithmetic. On the TPU backend convs execute at
-# reduced mantissa by default and the comparison measures hardware
-# precision, not framework parity. (The axon plugin forces its platform
-# from sitecustomize, so the config update is required, not just env.)
-import jax  # noqa: E402
+def _force_cpu():
+    """This is a CPU parity instrument: the reference runs CPU torch, so
+    jax must run the same f32 arithmetic. On the TPU backend convs execute
+    at reduced mantissa by default and the comparison measures hardware
+    precision (~3e-1 logit diffs), not framework parity. Called from
+    ``main()`` only — at import time it would silently retarget a whole
+    pytest session that imports this module for its helpers (the test
+    suite's conftest forces CPU itself). The axon plugin forces its
+    platform from sitecustomize, so the config update is required, not
+    just the env var."""
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 _TORCH = None
 _REF = None
@@ -542,6 +547,7 @@ FORWARD_CASES = [
 
 
 def main():
+    _force_cpu()
     results = {}
     failures = []
     for label, kwargs in FORWARD_CASES:

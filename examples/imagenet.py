@@ -230,8 +230,13 @@ def train_pipelined(args, model, chef, is_host0):
             saved = [saved[k] for k in sorted(saved, key=int)]
         if saved is not None and len(saved) == len(leaves) and all(
                 np.shape(s) == np.shape(l) for s, l in zip(saved, leaves)):
+            # re-commit each restored leaf to the sharding its fresh
+            # tx.init counterpart carries (P(pipe, None) moments): a bare
+            # jnp.asarray would enter the jitted step replicated, and
+            # every device would hold ALL stages' moment buffers
             opt_state = jax.tree.unflatten(
-                treedef, [jnp.asarray(s) for s in saved])
+                treedef, [jax.device_put(jnp.asarray(s), l.sharding)
+                          for s, l in zip(saved, leaves)])
             if is_host0:
                 print("==> pipeline resume restored optimizer state")
         elif is_host0:
@@ -266,12 +271,15 @@ def train_pipelined(args, model, chef, is_host0):
         # rides along for pipeline-to-pipeline resume
         for st_mod, st in zip(stages, pipe.unflatten_stage_states(flat)):
             nnx.update(st_mod, st)
-        if is_host0:
-            save_checkpoint(
-                args.out, model,
-                opt_state={"pipeline_flat": jax.tree.leaves(opt_state)},
-                metadata={"epoch": epoch_done, "arch": args.arch,
-                          "step": args.step, "pipeline": args.pipeline})
+        # EVERY host calls save_checkpoint: it is a collective (the flat
+        # params/moments can be pipe-sharded across processes, and both
+        # the gather and orbax's save protocol synchronize all hosts) —
+        # a host-0 gate would deadlock multi-host pipeline runs
+        save_checkpoint(
+            args.out, model,
+            opt_state={"pipeline_flat": jax.tree.leaves(opt_state)},
+            metadata={"epoch": epoch_done, "arch": args.arch,
+                      "step": args.step, "pipeline": args.pipeline})
 
     for epoch in range(start_epoch, args.epochs):
         losses = AverageMeter("Loss", ":.4e")

@@ -96,8 +96,7 @@ def main():
               f"{list(predictor.platforms)}, batch {predictor.batch_size}, "
               f"state {predictor.state_bytes() / 1e6:.2f} MB")
         args.batch_size = predictor.batch_size
-        args.size = predictor.input_shape[0]
-        serve_loop(predictor, args)
+        serve_loop(predictor, args, shape=predictor.input_shape)
         return
 
     common = dict(batch_size=args.batch_size, use_pallas=on_tpu,
@@ -133,11 +132,12 @@ def main():
     serve_loop(predictor, args)
 
 
-def serve_loop(predictor, args):
+def serve_loop(predictor, args, shape=None):
+    shape = tuple(shape) if shape is not None else (args.size, args.size, 3)
     rng = np.random.default_rng(0)
     for i in range(args.requests):
         n = int(rng.integers(1, args.batch_size + 1))  # ragged request sizes
-        x = rng.standard_normal((n, args.size, args.size, 3), np.float32)
+        x = rng.standard_normal((n, *shape), np.float32)
         t0 = time.time()
         logits = predictor(x)
         jax.block_until_ready(logits)
