@@ -233,9 +233,20 @@ def train_pipelined(args, model, chef, is_host0):
             # re-commit each restored leaf to the sharding its fresh
             # tx.init counterpart carries (P(pipe, None) moments): a bare
             # jnp.asarray would enter the jitted step replicated, and
-            # every device would hold ALL stages' moment buffers
+            # every device would hold ALL stages' moment buffers. Scalars
+            # (optax counts) stay uncommitted — their fresh counterparts
+            # carry a single-device placement that jit is free to move,
+            # and committing them there conflicts with the mesh.
+            from jax.sharding import NamedSharding
+
+            def _restore_leaf(s, l):
+                s = jnp.asarray(s)
+                if isinstance(getattr(l, "sharding", None), NamedSharding):
+                    return jax.device_put(s, l.sharding)
+                return s
+
             opt_state = jax.tree.unflatten(
-                treedef, [jax.device_put(jnp.asarray(s), l.sharding)
+                treedef, [_restore_leaf(s, l)
                           for s, l in zip(saved, leaves)])
             if is_host0:
                 print("==> pipeline resume restored optimizer state")
@@ -269,7 +280,13 @@ def train_pipelined(args, model, chef, is_host0):
         # the model checkpoint stays format-compatible with the sequential
         # trainer (resume/eval works either way), the flat optimizer state
         # rides along for pipeline-to-pipeline resume
-        for st_mod, st in zip(stages, pipe.unflatten_stage_states(flat)):
+        # gather the pipe-sharded flat buffer to every host first:
+        # unflatten_stage_states slices per-stage rows, and on a
+        # multi-host pipe axis the remote rows are not addressable
+        from bnn_tpu.utils import gather_replicated
+
+        flat_full = jnp.asarray(gather_replicated(flat))
+        for st_mod, st in zip(stages, pipe.unflatten_stage_states(flat_full)):
             nnx.update(st_mod, st)
         # EVERY host calls save_checkpoint: it is a collective (the flat
         # params/moments can be pipe-sharded across processes, and both
