@@ -153,6 +153,37 @@ uninterrupted = float(step(model2, opt2, x, y)["loss"])
 assert abs(resumed - uninterrupted) < 1e-5, (resumed, uninterrupted)
 zero1_ok = 1
 
+# Cross-process PIPELINE checkpoint (round-4 deadlock fix): the flat
+# (n_stages, L) buffer shards P(pipe) over a pipe axis spanning both
+# processes. The trainer's checkpoint path must (a) gather the
+# non-addressable flat buffer on EVERY host before slicing per-stage rows
+# and (b) enter the collective save on EVERY host — a host-0 gate
+# deadlocks here (examples/imagenet.py checkpoint_now).
+from bnn_tpu.parallel import HeteroPipeline, make_pipeline_mesh  # noqa: E402
+from bnn_tpu.utils import gather_replicated  # noqa: E402
+
+pstages = [nn.Sequential(nn.Linear(8, 8, rngs=nnx.Rngs(i)))
+           for i in range(4)]
+pmesh = make_pipeline_mesh(pipe=4)  # 4 devices over 2 processes
+pipe = HeteroPipeline(pstages, x_shape=(8,), mesh=pmesh)
+flat = pipe.flat_params
+assert not flat.is_fully_addressable, "pipe axis must span processes"
+flat_full = jnp.asarray(gather_replicated(flat))
+for st_mod, st in zip(pstages, pipe.unflatten_stage_states(flat_full)):
+    nnx.update(st_mod, st)
+pipe_dir = os.path.join(tempfile.gettempdir(),
+                        f"dist_pipe_{coordinator.split(':')[1]}")
+save_checkpoint(pipe_dir, nn.Sequential(*pstages),
+                opt_state={"pipeline_flat": [np.asarray(flat_full)]})
+mhu.sync_global_devices("pipe_ckpt_written")
+ppayload = load_checkpoint(pipe_dir)
+saved_flat = ppayload["opt_state"]["pipeline_flat"]
+if isinstance(saved_flat, dict):  # orbax may stringify list indices
+    saved_flat = [saved_flat[k] for k in sorted(saved_flat, key=int)]
+np.testing.assert_array_equal(np.asarray(saved_flat[0]),
+                              np.asarray(flat_full))
+pipe_ckpt_ok = 1
+
 # DistributedSampler-equivalent host shards must be disjoint across
 # processes and cover the dataset
 loader = NativeDataLoader(
@@ -162,4 +193,4 @@ loader.set_epoch(3)
 idx = sorted(int(i) for i in loader._epoch_indices())
 
 print(f"RESULT pid={pid} loss={loss:.6f} shard={','.join(map(str, idx))} "
-      f"zero1_ckpt={zero1_ok}", flush=True)
+      f"zero1_ckpt={zero1_ok} pipe_ckpt={pipe_ckpt_ok}", flush=True)

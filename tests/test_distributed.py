@@ -48,7 +48,7 @@ def test_two_process_dp_step_and_disjoint_shards():
     results = {}
     for out in outs:
         m = re.search(r"RESULT pid=(\d+) loss=([\d.eE+-]+) shard=([\d,]+) "
-                      r"zero1_ckpt=1", out)
+                      r"zero1_ckpt=1 pipe_ckpt=1", out)
         assert m, out
         results[int(m.group(1))] = (float(m.group(2)),
                                     set(map(int, m.group(3).split(","))))
