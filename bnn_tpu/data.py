@@ -32,29 +32,52 @@ def prefetch_to_device(iterator: Iterable, size: int = 2,
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     err: list = []
+    stop = threading.Event()
 
     def _put(batch):
         if mesh is not None:
             return shard_batch(batch, mesh)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
+    def _offer(item) -> bool:
+        # bounded put that gives up when the consumer is gone — a plain
+        # q.put would block forever if the generator is closed early
+        # (break mid-epoch / exception in the train step), leaking the
+        # thread AND pinning size+1 device-resident batches
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _worker():
         try:
             for batch in iterator:
-                q.put(_put(batch))
+                if not _offer(_put(batch)):
+                    return
         except Exception as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            _offer(sentinel)
 
     threading.Thread(target=_worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        while True:  # release any queued device arrays immediately
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def augment_crop_flip(x: np.ndarray, rng: np.random.Generator,

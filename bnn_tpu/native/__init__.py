@@ -24,10 +24,16 @@ _lib = None
 __all__ = ["available", "pack_rows", "pack_weights", "gemm", "num_threads"]
 
 
-def _build() -> None:
-    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-           _SRC, "-o", _LIB_PATH]
-    subprocess.run(cmd, check=True, capture_output=True)
+def _build_and_load(src: str, lib_path: str) -> ctypes.CDLL:
+    """Shared stale-check + g++ build + dlopen recipe for both native
+    libraries (one copy so flag/staleness changes can't diverge)."""
+    if not os.path.exists(lib_path) or \
+            os.path.getmtime(lib_path) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+             src, "-o", lib_path],
+            check=True, capture_output=True)
+    return ctypes.CDLL(lib_path)
 
 
 def _load():
@@ -35,10 +41,7 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) or \
-                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
-            _build()
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = _build_and_load(_SRC, _LIB_PATH)
         u32p = ctypes.POINTER(ctypes.c_uint32)
         f32p = ctypes.POINTER(ctypes.c_float)
         i64 = ctypes.c_int64
@@ -136,13 +139,7 @@ def _load_dl():
     with _lock:
         if _dl_lib is not None:
             return _dl_lib
-        if not os.path.exists(_DL_LIB_PATH) or \
-                os.path.getmtime(_DL_LIB_PATH) < os.path.getmtime(_DL_SRC):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
-                 "-fPIC", _DL_SRC, "-o", _DL_LIB_PATH],
-                check=True, capture_output=True)
-        lib = ctypes.CDLL(_DL_LIB_PATH)
+        lib = _build_and_load(_DL_SRC, _DL_LIB_PATH)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
@@ -190,6 +187,16 @@ def load_batch(images: np.ndarray, indices: np.ndarray,
     n, h, w, c = images.shape
     indices = np.ascontiguousarray(indices, np.int64)
     batch = indices.shape[0]
+    # bounds-check in Python: the C kernel takes no N and would read
+    # out-of-bounds memory (garbage labels or a segfault) where the numpy
+    # fallback raises IndexError
+    if batch and (int(indices.min()) < 0 or int(indices.max()) >= n):
+        raise IndexError(
+            f"indices out of range [0, {n}): "
+            f"[{int(indices.min())}, {int(indices.max())}]")
+    if labels is not None and np.shape(labels)[0] != n:
+        raise ValueError(
+            f"labels length {np.shape(labels)[0]} != images length {n}")
     if out_x is None:
         out_x = np.empty((batch, h, w, c), np.float32)
     if labels is not None:

@@ -125,6 +125,19 @@ def _unflatten(flat):
     return root
 
 
+def _cast_like(new, cur):
+    """Restored leaves adopt the DESTINATION's dtype (torch
+    ``load_state_dict`` semantics via ``copy_``): restoring an f32-saved
+    checkpoint into a ``cast_floats(model, bf16)`` model must not silently
+    flip the serving precision back to f32."""
+    cur_dtype = getattr(cur, "dtype", None)
+    if cur_dtype is None or not hasattr(new, "dtype"):
+        return new
+    if new.dtype == cur_dtype:
+        return new
+    return np.asarray(new).astype(cur_dtype)
+
+
 def _merge_matching(pure_cur: Dict, saved: Dict):
     """Merge ``saved`` leaves into ``pure_cur`` wherever path+shape match.
 
@@ -140,7 +153,7 @@ def _merge_matching(pure_cur: Dict, saved: Dict):
         if new is None:
             new = by_str.get(tuple(str(k) for k in path))
         if new is not None and np.shape(new) == np.shape(cur):
-            merged[path] = new
+            merged[path] = _cast_like(new, cur)
         else:
             merged[path] = cur
             skipped.append(".".join(map(str, path)))
@@ -158,7 +171,16 @@ def restore_into(model: nnx.Module, payload: Dict, strict: bool = True):
     saved = payload["model"]
 
     if strict:
-        nnx.replace_by_pure_dict(state, saved)
+        # dtype adoption also applies on the strict path (see _cast_like)
+        cur_by_str = {tuple(str(k) for k in p): v
+                      for p, v in _walk(nnx.to_pure_dict(state))}
+        flat = {}
+        for path, v in _walk(saved):
+            cur = cur_by_str.get(tuple(str(k) for k in path))
+            if cur is not None and np.shape(v) == np.shape(cur):
+                v = _cast_like(v, cur)
+            flat[path] = v
+        nnx.replace_by_pure_dict(state, _unflatten(flat))
         nnx.update(model, state)
         return []
 

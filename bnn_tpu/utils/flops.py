@@ -57,8 +57,17 @@ def _is_binary(m) -> bool:
     return False
 
 
+_PATCH_LOCK = __import__("threading").Lock()
+
+
 def _capture_shapes(model: nnx.Module, input_shape) -> Dict[str, tuple]:
-    """Shape-only forward pass recording each eligible layer's in/out shape."""
+    """Shape-only forward pass recording each eligible layer's in/out shape.
+
+    Patches the layer classes' ``__call__`` process-globally for the
+    duration of the trace, so it holds a lock: a concurrent forward pass
+    in another thread during the (shape-only, fast) trace would dispatch
+    through the wrapper; reentrant/parallel ``count_ops`` calls serialize.
+    """
     # trace an eval-mode clone: BatchNorm in train mode would mutate its
     # stats under eval_shape's trace, which nnx forbids
     model = nnx.merge(*nnx.split(model))
@@ -76,17 +85,18 @@ def _capture_shapes(model: nnx.Module, input_shape) -> Dict[str, tuple]:
             return out
         return call
 
-    for _, m in named_modules(model):
-        t = type(m)
-        if id(m) in targets and t not in saved:
-            saved[t] = t.__call__
-            t.__call__ = _wrap(t.__call__)
-    try:
-        x = jax.ShapeDtypeStruct(tuple(input_shape), jnp.float32)
-        jax.eval_shape(lambda v: model(v), x)
-    finally:
-        for t, orig in saved.items():
-            t.__call__ = orig
+    with _PATCH_LOCK:
+        for _, m in named_modules(model):
+            t = type(m)
+            if id(m) in targets and t not in saved:
+                saved[t] = t.__call__
+                t.__call__ = _wrap(t.__call__)
+        try:
+            x = jax.ShapeDtypeStruct(tuple(input_shape), jnp.float32)
+            jax.eval_shape(lambda v: model(v), x)
+        finally:
+            for t, orig in saved.items():
+                t.__call__ = orig
     return captured
 
 

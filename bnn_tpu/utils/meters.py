@@ -64,9 +64,12 @@ def accuracy(output: jax.Array, target: jax.Array,
     """Top-k accuracy in percent for each k (capability of reference
     examples/utils.py:46-60), computed in one top-k pass: a cumulative sum
     over the ranked-hit mask gives hits-within-top-k for every k at once."""
-    ranked_hit = jax.lax.top_k(output, max(topk))[1] == target[:, None]
+    # clamp k to the class count (same guard as make_eval_step): the
+    # reference's topk=(1, 5) call on a 2-class head must not crash
+    maxk = min(max(topk), output.shape[-1])
+    ranked_hit = jax.lax.top_k(output, maxk)[1] == target[:, None]
     pct_within = jnp.cumsum(ranked_hit, axis=1).mean(axis=0) * 100.0
-    return [float(pct_within[k - 1]) for k in topk]
+    return [float(pct_within[min(k, maxk) - 1]) for k in topk]
 
 
 def count_parameters(model: nnx.Module) -> int:

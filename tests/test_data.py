@@ -49,6 +49,31 @@ def test_prefetch_with_mesh():
     assert batch.sharding.spec[0] == "data"
 
 
+def test_prefetch_early_exit_stops_worker():
+    """Breaking out of the consumer (or an exception in the train step)
+    must stop the background thread — a blocked q.put would leak the
+    thread and pin size+1 device batches for the process lifetime."""
+    import threading
+    import time
+
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield np.full((2,), i, np.float32)
+
+    before = threading.active_count()
+    it = prefetch_to_device(gen(), size=2)
+    next(it)
+    it.close()  # what a `break` in a for-loop does
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch worker leaked"
+    assert len(produced) < 100  # the source iterator stopped being drained
+
+
 def test_prefetch_propagates_errors():
     def gen():
         yield np.ones((2,), np.float32)

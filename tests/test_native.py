@@ -51,3 +51,31 @@ class TestNativeGemm:
 
     def test_threads_reported(self):
         assert native.num_threads() >= 1
+
+
+class TestLoaderBounds:
+    """The C batch-assembly kernel takes no N: Python must bounds-check
+    (a bad index would read out-of-bounds memory instead of raising)."""
+
+    def _store(self):
+        imgs = np.zeros((8, 4, 4, 3), np.uint8)
+        labels = np.arange(8, dtype=np.int32)
+        one = np.ones(3, np.float32)
+        return imgs, labels, one
+
+    def test_out_of_range_index_raises(self):
+        if not native.loader_available():
+            pytest.skip("loader build unavailable")
+        imgs, labels, one = self._store()
+        with pytest.raises(IndexError, match="out of range"):
+            native.load_batch(imgs, np.array([0, 8]), labels, one, one * 0)
+        with pytest.raises(IndexError, match="out of range"):
+            native.load_batch(imgs, np.array([-1]), labels, one, one * 0)
+
+    def test_short_labels_raise(self):
+        if not native.loader_available():
+            pytest.skip("loader build unavailable")
+        imgs, _, one = self._store()
+        with pytest.raises(ValueError, match="labels length"):
+            native.load_batch(imgs, np.array([0]), np.zeros(3, np.int32),
+                              one, one * 0)

@@ -61,6 +61,15 @@ class TestMeters:
         top3 = accuracy(logits, target, topk=(3,))[0]
         assert top3 == pytest.approx(100.0)
 
+    def test_accuracy_clamps_k_to_classes(self):
+        """The reference's standard topk=(1, 5) call on a 2-class head
+        must not crash (same clamp as make_eval_step)."""
+        logits = jnp.array([[0.1, 0.9], [0.8, 0.2]])
+        target = jnp.array([1, 1])
+        top1, top5 = accuracy(logits, target, topk=(1, 5))
+        assert top1 == pytest.approx(50.0)
+        assert top5 == pytest.approx(100.0)  # within-2 == within-all
+
     def test_count_parameters(self):
         lin = nn.Linear(4, 3, rngs=nnx.Rngs(0))
         assert count_parameters(lin) == 4 * 3 + 3
@@ -83,6 +92,27 @@ class TestCheckpoint:
         skipped = restore_into(fresh, payload)
         assert skipped == []
         np.testing.assert_array_equal(fresh(x), expected)
+
+    def test_restore_preserves_destination_dtype(self, tmp_path):
+        """torch load_state_dict semantics: restoring an f32-saved
+        checkpoint into a bf16-cast model keeps the model bf16 (both
+        strict and non-strict paths)."""
+        from bnn_tpu.utils import cast_floats
+
+        net = prepare_binary_model(make_net(), bconfig=BC)
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, net)  # f32 arrays on disk
+
+        for strict in (True, False):
+            fresh = prepare_binary_model(make_net(seed=9), bconfig=BC)
+            cast_floats(fresh, jnp.bfloat16)
+            restore_into(fresh, load_checkpoint(path), strict=strict)
+            kernels = [v for p, v in jax.tree_util.tree_leaves_with_path(
+                nnx.state(fresh)) if hasattr(v, "dtype")]
+            float_dtypes = {v.dtype for v in kernels
+                            if jnp.issubdtype(v.dtype, jnp.floating)}
+            assert float_dtypes == {jnp.dtype(jnp.bfloat16)}, (
+                strict, float_dtypes)
 
     def test_best_copy(self, tmp_path):
         net = make_net()
