@@ -218,7 +218,12 @@ def swap_modules_by_name(
 ) -> nnx.Module:
     """Replace modules in-place by dotted name; if the model itself is the
     (single) module to replace, return the replacement (reference
-    single-leaf-model case, bnn/binarize.py:121-123)."""
+    single-leaf-model case, bnn/binarize.py:121-123).
+
+    ``modules_mapping`` is accepted for reference-API compatibility
+    (bnn/binarize.py:106-107) but unused: the reference's recursive swap
+    filters children by type, while this O(n) path-addressed swap needs no
+    type filter — the replacement dict already pins exact targets."""
     if "" in modules_to_replace:
         return modules_to_replace[""]
     for name, new in modules_to_replace.items():

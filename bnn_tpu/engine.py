@@ -145,8 +145,12 @@ def _build_lr_schedule(base_lr: float, sched: Dict[str, Any], epochs: int,
         main = optax.cosine_decay_schedule(base_lr, total, alpha=final)
     elif name == "multistep":
         gamma = float(sched.get("gamma", 0.1))
-        bounds = {int(m) * steps_per_epoch: gamma
-                  for m in sched.get("milestones", [])}
+        # milestones are ABSOLUTE epochs; join_schedules feeds the main
+        # schedule warmup-relative steps, so shift the boundaries left by
+        # the warmup (an unshifted boundary fires warmup_epochs late)
+        bounds = {int(m) * steps_per_epoch - warmup_steps: gamma
+                  for m in sched.get("milestones", [])
+                  if int(m) * steps_per_epoch > warmup_steps}
         main = optax.piecewise_constant_schedule(base_lr, bounds)
     else:
         main = optax.constant_schedule(base_lr)

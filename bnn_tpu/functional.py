@@ -146,15 +146,35 @@ def avg_pool(x: jax.Array, kernel_size: Size, stride: Size = None, padding: Size
 
 
 def adaptive_avg_pool(x: jax.Array, output_size: Size = 1) -> jax.Array:
-    """Adaptive average pool; only uniform output sizes that divide the input
-    are supported (the model zoo only uses (1, 1), reference
-    bnn/models/resnet.py:100)."""
+    """Adaptive average pool with torch's variable-window semantics:
+    output bin ``i`` averages rows ``[floor(i*S/o), ceil((i+1)*S/o))``.
+
+    The divisible case reduces to a plain strided pool; the non-divisible
+    case unrolls the (static, small) output grid — a fixed-kernel
+    approximation here would be silently numerically wrong vs torch
+    (reference models pool to (1, 1), bnn/models/resnet.py:100, but the
+    API accepts any size)."""
     nd = x.ndim - 2
     out = _ntuple(output_size, nd)
     if all(o == 1 for o in out):
         return jnp.mean(x, axis=tuple(range(1, 1 + nd)), keepdims=True)
-    ks = tuple(s // o for s, o in zip(x.shape[1:-1], out))
-    return avg_pool(x, ks, stride=ks)
+    spatial = x.shape[1:-1]
+    if all(s % o == 0 for s, o in zip(spatial, out)):
+        ks = tuple(s // o for s, o in zip(spatial, out))
+        return avg_pool(x, ks, stride=ks)
+
+    def _pool_axis(v, axis, size, o):
+        bins = []
+        for i in range(o):
+            lo, hi = (i * size) // o, ((i + 1) * size + o - 1) // o
+            sl = [slice(None)] * v.ndim
+            sl[axis] = slice(lo, hi)
+            bins.append(jnp.mean(v[tuple(sl)], axis=axis, keepdims=True))
+        return jnp.concatenate(bins, axis=axis)
+
+    for d in range(nd):
+        x = _pool_axis(x, 1 + d, spatial[d], out[d])
+    return x
 
 
 def flatten(x: jax.Array, start_axis: int = 1) -> jax.Array:

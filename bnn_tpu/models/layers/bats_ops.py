@@ -148,7 +148,10 @@ class Zero(nnx.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         n, h, w, c = x.shape
         s = self.stride
-        return jnp.zeros((n, h // s, w // s, c), dtype=x.dtype)
+        # ceil semantics like the reference's x[:, :, ::s, ::s] — floor
+        # would mismatch the other strided ops' shapes on odd maps and
+        # crash the cell-edge sum
+        return jnp.zeros((n, -(-h // s), -(-w // s), c), dtype=x.dtype)
 
 
 class FactorizedReduce(nnx.Module):

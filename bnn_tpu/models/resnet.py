@@ -2,8 +2,11 @@
 
 BNN-specific deltas vs a vanilla ResNet, preserved from the reference:
 
-- pluggable ``block_type`` (post-/pre-activation basic & bottleneck, HBlock)
-  and ``activation`` class (PReLU supported with per-channel slopes);
+- pluggable ``block_type`` (post-/pre-activation basic & bottleneck) and
+  ``activation`` class (PReLU supported with per-channel slopes). HBlock
+  (models/layers/hierarchical_block.py) is stride-1-only like the
+  reference's, so it composes into custom single-resolution trunks, not
+  the strided ``_stage`` builder here;
 - ``stem_type='basic' | 'dabnn'`` (DaBNN efficient stem, reference
   bnn/models/resnet.py:10-47);
 - the shortcut on strided stages is AvgPool -> 1x1 conv -> BN instead of a
@@ -136,7 +139,11 @@ class ResNet(nnx.Module):
                                    padding=3, bias=False, rngs=rngs)
             self.bn1 = norm(_STEM_WIDTH, rngs=rngs)
         elif stem_type == "dabnn":
-            self.conv1 = DaBNNStem(_STEM_WIDTH, norm_layer=norm, rngs=rngs)
+            # the requested activation reaches the stem too (the reference
+            # hard-codes ReLU there even for PReLU nets,
+            # ref models/resnet.py:90 — a silent config deviation)
+            self.conv1 = DaBNNStem(_STEM_WIDTH, norm_layer=norm,
+                                   activation=activation, rngs=rngs)
         else:
             raise ValueError(f"Unknown stem_type {stem_type!r}")
         self.relu = nn.ReLU()

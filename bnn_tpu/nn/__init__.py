@@ -236,6 +236,12 @@ class Sequential(nnx.Module):
     def __setitem__(self, idx: int, module: nnx.Module):
         if idx < 0:
             idx += self._num_layers
+        if not 0 <= idx < self._num_layers:
+            # torch parity: assignment cannot extend the container — an
+            # out-of-range setattr would create an orphan attribute that
+            # the forward never executes (but binarize/checkpoint walk)
+            raise IndexError(
+                f"index {idx} out of range for {self._num_layers} layers")
         setattr(self, str(idx), module)
 
     def __iter__(self):
@@ -271,6 +277,12 @@ class ModuleList(nnx.Module):
     def __setitem__(self, idx: int, module: nnx.Module):
         if idx < 0:
             idx += self._num_layers
+        if not 0 <= idx < self._num_layers:
+            # torch parity: assignment cannot extend the container — an
+            # out-of-range setattr would create an orphan attribute that
+            # the forward never executes (but binarize/checkpoint walk)
+            raise IndexError(
+                f"index {idx} out of range for {self._num_layers} layers")
         setattr(self, str(idx), module)
 
     def __iter__(self):

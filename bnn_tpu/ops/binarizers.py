@@ -222,6 +222,10 @@ class XNORScaleBinarizer(BinarizerBase):
         self.kernel_size = tuple(module.kernel_size)
         self.stride = module.stride
         self.padding = module.padding
+        # the scale map must trace the SAME receptive-field geometry as
+        # the layer, dilation included, or its spatial shape mismatches
+        # the layer output (e.g. BATS DilConv)
+        self.dilation = getattr(module, "dilation", 1)
 
     def __call__(self, layer_out: jax.Array, layer_in: jax.Array) -> jax.Array:
         a = jnp.mean(jnp.abs(layer_in), axis=-1, keepdims=True)
@@ -231,5 +235,6 @@ class XNORScaleBinarizer(BinarizerBase):
             1.0 / math.prod(self.kernel_size),
             dtype=layer_in.dtype,
         )
-        scale = F.conv(a, k, stride=self.stride, padding=self.padding)
+        scale = F.conv(a, k, stride=self.stride, padding=self.padding,
+                       dilation=self.dilation)
         return layer_out * scale

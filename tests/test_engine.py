@@ -193,6 +193,14 @@ class TestRecipeOptimizer:
             0.1, {"name": "multistep", "milestones": [1], "gamma": 0.1}, 2, 10)
         np.testing.assert_allclose(float(sched2(5)), 0.1, rtol=1e-6)
         np.testing.assert_allclose(float(sched2(15)), 0.01, rtol=1e-6)
+        # multistep milestones are ABSOLUTE epochs even with warmup:
+        # join_schedules feeds warmup-relative steps, so the boundary
+        # must shift left by the warmup (a drop at step 30 here = bug)
+        sched3 = _build_lr_schedule(
+            1.0, {"name": "multistep", "milestones": [2], "gamma": 0.1,
+                  "warmup_epochs": 1}, 4, 10)
+        np.testing.assert_allclose(float(sched3(19)), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(float(sched3(20)), 0.1, rtol=1e-6)
 
     def test_make_optimizer_trains(self):
         import optax  # noqa: F401

@@ -128,3 +128,39 @@ def test_update_copies_binarizer_state():
     np.testing.assert_array_equal(b2.activation_post_process.alpha[...], [3.0, 4.0])
     b3 = blayers.Linear.from_module(b1, BCONFIG, update=False)
     np.testing.assert_array_equal(b3.activation_post_process.alpha[...], [1.0, 1.0])
+
+
+class TestContainersAndPools:
+    def test_sequential_setitem_in_range_replaces(self):
+        s = nn.Sequential(nn.ReLU(), nn.ReLU())
+        s[1] = nn.Identity()
+        assert isinstance(s[1], nn.Identity) and len(s) == 2
+
+    def test_sequential_setitem_out_of_range_raises(self):
+        """torch parity: assignment cannot extend the container — an
+        out-of-range setattr would create an orphan layer the forward
+        never runs (but binarize/checkpoint would walk)."""
+        import pytest
+
+        s = nn.Sequential(nn.ReLU(), nn.ReLU())
+        with pytest.raises(IndexError):
+            s[2] = nn.ReLU()
+        with pytest.raises(IndexError):
+            s[-3] = nn.ReLU()
+
+    def test_adaptive_avg_pool_non_divisible_matches_torch(self):
+        """torch's variable-window semantics on non-divisible sizes —
+        a fixed-kernel approximation is silently wrong numerically."""
+        import pytest
+
+        torch = pytest.importorskip("torch")
+        from bnn_tpu import functional as F
+
+        for size, out in ((7, 3), (5, 2), (10, 4)):
+            x = np.random.RandomState(size).rand(2, size, size, 3)
+            x = x.astype(np.float32)
+            got = np.asarray(F.adaptive_avg_pool(jnp.asarray(x), out))
+            want = torch.nn.functional.adaptive_avg_pool2d(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)), out
+            ).numpy().transpose(0, 2, 3, 1)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

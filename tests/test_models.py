@@ -60,6 +60,17 @@ class TestResNet:
         assert isinstance(model.conv1, models.DaBNNStem)
         assert model(jnp.ones((1, 64, 64, 3))).shape == (1, 10)
 
+    def test_dabnn_stem_inherits_activation(self):
+        """The requested activation reaches the stem (the reference
+        hard-codes ReLU there even for PReLU nets, ref resnet.py:90)."""
+        from bnn_tpu.binarize import named_modules
+
+        model = models.resnet18(stem_type="dabnn", activation=nn.PReLU,
+                                num_classes=10, rngs=nnx.Rngs(0))
+        acts = {type(m).__name__ for _, m in named_modules(model.conv1)
+                if type(m).__name__ in ("ReLU", "PReLU")}
+        assert acts == {"PReLU"}
+
     def test_downsample_is_avgpool_conv_bn(self):
         model = models.resnet18(rngs=nnx.Rngs(0))
         ds = model.layer2[0].downsample
@@ -123,6 +134,15 @@ class TestBatsOps:
         # each sample is either all zeros or all 1/keep_prob
         for row in per_sample:
             assert np.all(row == 0.0) or np.allclose(row, 2.0)
+
+    def test_zero_op_ceil_stride_shape(self):
+        """Zero ('none') must produce ceil(h/s) like the reference's
+        x[:, :, ::s, ::s] — floor mismatches the other strided ops on odd
+        maps and crashes the cell-edge sum."""
+        from bnn_tpu.models.layers.bats_ops import Zero
+
+        assert Zero(2)(jnp.ones((1, 7, 7, 4))).shape == (1, 4, 4, 4)
+        assert Zero(2)(jnp.ones((1, 8, 8, 4))).shape == (1, 4, 4, 4)
 
     def test_drop_path_zero_prob_identity(self):
         x = jnp.ones((2, 2, 2, 2))

@@ -150,6 +150,19 @@ class TestScaleBinarizers:
         np.testing.assert_allclose(result, expected, rtol=1e-5)
 
 
+    def test_xnor_scale_dilated_conv(self):
+        """The scale map must trace the layer's dilation, or its spatial
+        shape mismatches the layer output (e.g. BATS DilConv)."""
+        from bnn_tpu import BConfig, prepare_binary_model
+        from bnn_tpu.ops import BasicInputBinarizer, XNORWeightBinarizer
+
+        conv = nn.Conv2d(4, 8, 3, padding=2, dilation=2, rngs=nnx.Rngs(0))
+        b = prepare_binary_model(conv, bconfig=BConfig(
+            BasicInputBinarizer, XNORScaleBinarizer, XNORWeightBinarizer))
+        out = b(jax.random.normal(jax.random.key(0), (1, 8, 8, 4)))
+        assert out.shape == (1, 8, 8, 8)
+
+
 class TestIdentityAndRegistry:
     def test_identity_one_and_two_arg(self):
         ident = Identity()
