@@ -273,6 +273,11 @@ def _pointwise_deployed(conv) -> bool:
             and conv.mode in ("conv", "gemm", "im2col")
             and tuple(conv.kernel_size) == (1, 1)
             and tuple(F._ntuple(conv.stride, 2)) == (1, 1)
+            # the kernels execute 1x1 convs as bare dots: a padded or
+            # dilated 1x1 would silently lose its padding when fused
+            and not isinstance(conv.padding, str)
+            and tuple(F._ntuple(conv.padding, 2)) == (0, 0)
+            and tuple(F._ntuple(conv.dilation, 2)) == (1, 1)
             and conv.spatial_post is None)
 
 
@@ -352,11 +357,7 @@ def _downsample_parts(block):
         return None
     # pointwise convs deploy in either conv or gemm mode; for a 1x1 the
     # weight layouts coincide ((C_in, C_out) on the trailing axes)
-    if not (isinstance(conv, DeployedConv)
-            and conv.mode in ("conv", "gemm", "im2col")
-            and tuple(conv.kernel_size) == (1, 1)
-            and tuple(F._ntuple(conv.stride, 2)) == (1, 1)
-            and conv.spatial_post is None):
+    if not _pointwise_deployed(conv):  # incl. zero padding / no dilation
         return None
     return ap, conv, bn
 

@@ -99,7 +99,16 @@ def fold_bn_before(bn: nn.BatchNorm2d, conv: "DeployedConv") -> bool:
         conv.w_packed[...] = w * flip[:, None]
     else:
         w = unpack_bits(conv.w_packed[...], conv.k, axis=-2, dtype=jnp.float32)
-        w = w[..., : conv.k, :] * flip.astype(jnp.float32)[:, None]
+        w = w[..., : conv.k, :]
+        if conv.mode in ("conv", "pallas-conv"):
+            # (*spatial, I, O) layout: axis -2 IS the in-channel axis
+            fk = flip.astype(jnp.float32)
+        else:
+            # GEMM/im2col layout: the K axis is channel-MAJOR (I, *taps)
+            # — repeat each channel's flip across its filter positions
+            fk = jnp.repeat(flip, conv.k // flip.shape[0]).astype(
+                jnp.float32)
+        w = w * fk[:, None]
         # repack: flipped zeros cannot appear (w is +/-1 here)
         conv.w_packed[...] = pack_bits(w, axis=-2)
     conv.threshold = nnx.data(nnx.Variable(tau.astype(jnp.float32)))

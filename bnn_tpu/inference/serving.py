@@ -140,7 +140,11 @@ class Predictor:
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            n_shard = mesh.shape[batch_axis]
+            # a model-only mesh is legal for pure TP serving: requests
+            # stay replicated (each chip holds a weight shard, not a
+            # batch shard)
+            n_shard = mesh.shape.get(batch_axis, 1)
+            batch_spec = P(batch_axis) if batch_axis in mesh.shape else P()
             assert batch_size % n_shard == 0, (batch_size, n_shard)
             if tensor_parallel:
                 # north-star topology: each chip holds an out-channel shard
@@ -151,14 +155,14 @@ class Predictor:
                 specs = tp_state_specs(merged, axis=model_axis)
                 self._state = shard_tp_state(
                     jax.tree.map(jnp.asarray, self._state), specs, mesh)
-                x_spec = P(batch_axis)
+                x_spec = batch_spec
                 state_specs = specs
             else:
                 # replicate the deployed weights; shard requests on batch
                 self._state = jax.device_put(
                     jax.tree.map(jnp.asarray, self._state),
                     NamedSharding(mesh, P()))
-                x_spec = P(batch_axis)
+                x_spec = batch_spec
                 state_specs = P()
             sharded = jax.shard_map(
                 _run, mesh=mesh, in_specs=(state_specs, x_spec),

@@ -102,7 +102,10 @@ class FusedStage(nnx.Module):
         self.stage = stage  # original Sequential (same arrays; fallback)
         self.kind = kind
         self.pre = pre
-        self.max_fused_batch = max_fused_batch
+        # the chain kernel unrolls images in-kernel and hard-caps at 8
+        # (kernels/model.py fused_chain) — clamp so a larger requested cap
+        # falls back instead of tripping the kernel's assert at trace time
+        self.max_fused_batch = min(max_fused_batch, 8)
         self.interpret = interpret
         bps = [(_down_params if kind == "down" and i == 0 else
                 _basic_params)(b) for i, b in enumerate(stage)]
@@ -186,11 +189,26 @@ def _stage_eligible(seq) -> str:
     if len({type(b) for b in blocks}) != 1:
         return ""
     pre = isinstance(blocks[0], PreBasicBlock)
+    # the chain kernel applies BLOCK 0's act kinds and sign convention to
+    # every block — a heterogeneous stage must not fuse (it would silently
+    # compute wrong outputs, not error)
+    sig0 = (_act_kind(blocks[0].act1)[0], _act_kind(blocks[0].act2)[0],
+            getattr(blocks[0].conv1, "zero_to_one", False))
     for b in blocks[1:]:
         if b.downsample is not None:
             return ""
         if not (_eligible_pre(b) if pre else _eligible(b)):
             return ""
+        sig = (_act_kind(b.act1)[0], _act_kind(b.act2)[0],
+               getattr(b.conv1, "zero_to_one", False))
+        if sig != sig0 or getattr(b.conv2, "zero_to_one", False) != sig0[2]:
+            return ""
+    if getattr(blocks[0].conv2, "zero_to_one", False) != sig0[2]:
+        return ""
+    if blocks[0].downsample is not None and getattr(
+            blocks[0].downsample[1], "zero_to_one", None) not in (None,
+                                                                  sig0[2]):
+        return ""
     if _stage_weight_bytes(seq) > _MAX_STAGE_WEIGHT_BYTES:
         return ""
     b0 = blocks[0]

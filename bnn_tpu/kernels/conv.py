@@ -98,7 +98,8 @@ def binary_conv2d_s1(
         add = jnp.pad(add, (0, op_ - o))
 
     # batch elements per grid step: grow the per-tap matmul M while keeping
-    # x + acc + out comfortably inside VMEM (~10 MB budget)
+    # x + acc + out comfortably inside VMEM (4 MB per-step working set;
+    # the rest of the 16 MB budget covers double-buffering + weights)
     # per-element VMEM: x (f32) + signed copy (int8) + padded copy (int8)
     # + int32 acc + f32 out block, with headroom for Mosaic's own buffers
     per_elem = h * w_sp * (c * (x.dtype.itemsize + 2) + bo * 8)

@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .block import _apply_act
-from .strided_block import _transform_w1
+from .strided_block import _sign_i8, _transform_w1
 
 __all__ = ["BlockParams", "fused_chain", "fused_pair", "fused_down_stage",
            "fused_stem_chain", "fused_pair_reference",
@@ -54,12 +54,9 @@ __all__ = ["BlockParams", "fused_chain", "fused_pair", "fused_down_stage",
 _ACTS = ("relu", "prelu", "identity")
 
 
-def _sgn_i8(v, thr, zero_to_one: bool):
-    if zero_to_one:
-        s = jnp.where(v >= thr, 1, -1)
-    else:  # torch parity: sign(0) == 0 (ternary, exact in int8)
-        s = jnp.where(v > thr, 1, jnp.where(v < thr, -1, 0))
-    return s.astype(jnp.int8)
+# ONE copy of the in-kernel sign (the most delicate invariant here —
+# sign(0) convention): shared with the strided-block kernel
+_sgn_i8 = _sign_i8
 
 
 def _conv3x3(xs, w2d):

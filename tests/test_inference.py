@@ -370,6 +370,18 @@ class TestGroupedDeploy:
         assert dep.mode == "conv"
         np.testing.assert_allclose(dep(x), expected, rtol=1e-4, atol=1e-4)
 
+    def test_padded_pointwise_not_fusion_eligible(self):
+        """The bottleneck/downsample kernels run 1x1 convs as bare dots —
+        a padded 1x1 must not pass eligibility (its padding would be
+        silently dropped when fused)."""
+        from bnn_tpu.inference.megablock import _pointwise_deployed
+
+        padded = blayers.Conv2d(8, 16, 1, padding=1, bconfig=BCONFIG,
+                                rngs=nnx.Rngs(0))
+        assert not _pointwise_deployed(DeployedConv(padded, use_pallas=False))
+        plain = blayers.Conv2d(8, 16, 1, bconfig=BCONFIG, rngs=nnx.Rngs(0))
+        assert _pointwise_deployed(DeployedConv(plain, use_pallas=False))
+
     def test_grouped_rejects_gemm_mode(self):
         layer = blayers.Conv2d(24, 24, 3, padding=1, groups=12,
                                bconfig=BCONFIG, rngs=nnx.Rngs(0))

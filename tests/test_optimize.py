@@ -111,6 +111,31 @@ class TestPreActThresholdFold:
         assert n == 1
         np.testing.assert_allclose(dep(x), expected, rtol=2e-4, atol=2e-4)
 
+    def test_threshold_fold_im2col_layout(self):
+        """GEMM/im2col-layout weights are channel-MAJOR on the K axis:
+        the per-channel BN sign flips must repeat over the filter taps
+        (a (C,1) broadcast crashed; a wrong order would scramble)."""
+        from bnn_tpu import layers as blayers
+        from bnn_tpu.inference import fold_bn_before
+        from bnn_tpu.inference.deploy import DeployedConv
+
+        rngs = nnx.Rngs(0)
+        bn = nn.BatchNorm2d(8, rngs=rngs)
+        bn.use_running_average = True
+        # negative gammas on half the channels: flips must hit the weights
+        bn.scale[...] = jnp.where(jnp.arange(8) % 2 == 0, -1.5, 2.0)
+        bn.mean[...] = jnp.linspace(-0.5, 0.5, 8)
+        bn.var[...] = jnp.full((8,), 0.8)
+        bn.bias[...] = jnp.linspace(0.2, -0.2, 8)
+        bconv = blayers.Conv2d(8, 16, 3, padding=1, bconfig=BC_PM1,
+                               rngs=rngs)
+        dconv = DeployedConv(bconv, mode="im2col", use_pallas=False)
+        assert dconv.mode == "im2col"
+        x = _no_zeros(jax.random.normal(jax.random.key(11), (2, 6, 6, 8)))
+        expected = dconv(bn(x))
+        assert fold_bn_before(bn, dconv)
+        np.testing.assert_allclose(dconv(x), expected, rtol=2e-4, atol=2e-4)
+
     @pytest.mark.slow
     def test_negative_gamma_flip(self):
         rngs = nnx.Rngs(0)

@@ -152,6 +152,43 @@ class TestFuseStagesPass:
         np.testing.assert_array_equal(dep(xb), expected)
 
 
+class TestStageEligibilityGuards:
+    """The chain kernel applies block 0's act kinds + sign convention to
+    every block — heterogeneous stages must stay unfused (they would
+    silently serve wrong outputs, not error)."""
+
+    def test_mixed_activation_stage_does_not_fuse(self):
+        from bnn_tpu import nn as fnn
+        dep = _deployed_resnet18()
+        x = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
+        dep.layer1[1].act1 = fnn.PReLU(64, rngs=nnx.Rngs(0))
+        dep.layer1[1].act2 = fnn.PReLU(64, rngs=nnx.Rngs(1))
+        expected = dep(x)
+        fuse_stages(dep, interpret=True)
+        assert not isinstance(dep.layer1, FusedStage)
+        np.testing.assert_array_equal(dep(x), expected)
+
+    def test_mixed_sign_convention_stage_does_not_fuse(self):
+        dep = _deployed_resnet18()
+        x = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
+        dep.layer1[1].conv1.zero_to_one = True
+        dep.layer1[1].conv2.zero_to_one = True
+        expected = dep(x)
+        fuse_stages(dep, interpret=True)
+        assert not isinstance(dep.layer1, FusedStage)
+        np.testing.assert_array_equal(dep(x), expected)
+
+    def test_cap_above_kernel_limit_falls_back(self):
+        """fuse_stages(max_fused_batch=16) + batch 12: the stage must
+        route to the fallback, not trip fused_chain's n<=8 assert."""
+        ref = _deployed_resnet18()
+        xb = jnp.asarray(rng.randn(12, 32, 32, 3), jnp.float32)
+        expected = ref(xb)
+        dep = _deployed_resnet18()
+        fuse_stages(dep, max_fused_batch=16, interpret=True)
+        np.testing.assert_array_equal(dep(xb), expected)
+
+
 class TestFuseEntry:
     """Stem + layer1 merged into one dispatch (inference.fuse_entry)."""
 

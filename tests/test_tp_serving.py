@@ -63,6 +63,17 @@ class TestTPServing:
         assert tp.tp_layers, "no layers were tensor-parallel tagged"
         np.testing.assert_allclose(tp(x), ref(x), rtol=1e-5, atol=1e-5)
 
+    def test_model_only_mesh_serves_replicated_batches(self):
+        """Pure TP: a mesh with ONLY a model axis is legal — requests stay
+        replicated (each chip holds a weight shard, not a batch shard)."""
+        mesh = jax.make_mesh((8,), ("model",))
+        x = np.asarray(_rand_no_zeros(jax.random.key(2), (8, 8, 8, 3)))
+        ref = Predictor.from_model(_bin_model(), **COMMON)
+        tp = Predictor.from_model(_bin_model(), mesh=mesh,
+                                  tensor_parallel=True, **COMMON)
+        assert tp.tp_layers
+        np.testing.assert_allclose(tp(x), ref(x), rtol=1e-5, atol=1e-5)
+
     def test_packed_bytes_sharded_one_over_n(self):
         """Each chip must hold exactly 1/N of every tagged layer's packed
         weights (the whole point of TP serving)."""
