@@ -128,7 +128,14 @@ def _down_body(xw, w1s, w2, wd, po, pi, *, act1, act2, pre, z21, ci):
     hs = _sgn_i8(y1, thr2, z21).reshape(h2, w2w, co)
     y2 = _conv3x3(hs, w2).astype(jnp.float32) * s2 + a2
 
-    # shortcut: avgpool2x2/s2 = mean of the 4 s2d phase groups
+    # shortcut: avgpool2x2/s2 = mean of the 4 s2d phase groups.
+    # Boundary caveat: this left-associated f32 sum can round differently
+    # than XLA's reduce_window on the unfused path; when the pooled value
+    # sits EXACTLY on the following sign threshold (possible on
+    # mixed-sign activations, e.g. PReLU nets — binary activations have
+    # 0-atoms) the sign may differ. Bit-exactness vs the unfused graph
+    # holds away from those measure-atoms; the standard ReLU configs the
+    # suite pins bit-exactly never produce them here.
     avg = 0.25 * (xm[:, :, :ci] + xm[:, :, ci:2 * ci]
                   + xm[:, :, 2 * ci:3 * ci] + xm[:, :, 3 * ci:])
     dsig = _sgn_i8(avg.reshape(m1, ci), thrd, z21)
