@@ -20,6 +20,7 @@ pack_bits pass; end to end it dominates. Conclusion: on-chip, the int8 MXU
 path is always faster on v5e; 'popcount' remains the form whose
 activations cross ICI/HBM packed (32x smaller), not a speed mode.
 """
+import os
 import sys
 import time
 
@@ -27,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bnn_tpu import BConfig
 from bnn_tpu import layers as blayers
@@ -88,11 +89,13 @@ def main():
          lambda: blayers.Linear(16384, 4096, bconfig=Z1, rngs=nnx.Rngs(0))),
     ]
     for tag, xshape, fn in shapes:
+        # build the layer on CPU (init is hundreds of tiny ops — each a
+        # round trip over a tunneled TPU) and bulk-transfer once
         with jax.default_device(cpu):
-            pass
+            layer = fn()
         x = jax.random.normal(key, xshape, jnp.bfloat16)
         t0 = time.time()
-        bench_layer(tag, fn, x)
+        bench_layer(tag, lambda: layer, x)
         print(f"  [{time.time()-t0:.0f}s]", flush=True)
 
 

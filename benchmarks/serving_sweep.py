@@ -9,6 +9,7 @@ convs above.
     python benchmarks/serving_sweep.py [--pre]
 """
 import argparse
+import os
 import sys
 import time
 
@@ -17,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bnn_tpu import BConfig, models, nn, prepare_binary_model
 from bnn_tpu.inference import (deploy, fuse_blocks, fuse_stages, fuse_stem,

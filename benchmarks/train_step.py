@@ -46,7 +46,7 @@ from bnn_tpu.ops import (
 from bnn_tpu.parallel.trainstep import _mixed_forward
 
 
-def build(binary: bool, *, num_classes=1000, cpu_init=True):
+def build(binary: bool, *, num_classes=1000):
     dev = jax.devices()[0]
     with jax.default_device(jax.devices("cpu")[0]):
         m = models.resnet18(num_classes=num_classes, rngs=nnx.Rngs(0))

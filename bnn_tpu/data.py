@@ -21,13 +21,19 @@ __all__ = ["prefetch_to_device", "augment_crop_flip", "NativeDataLoader"]
 
 
 def prefetch_to_device(iterator: Iterable, size: int = 2,
-                       mesh=None) -> Iterator:
+                       mesh=None, host_shards: bool = False) -> Iterator:
     """Asynchronously stage host batches onto the device(s).
 
     A background thread pulls from ``iterator``, transfers each pytree to
     the device (sharded over ``mesh``'s data axis when given), and keeps up
     to ``size`` batches in flight so host preprocessing and H2D transfer
     overlap with the training step.
+
+    ``host_shards=True`` treats each process's batches as its own shard of
+    a larger global batch (``shard_host_batch``) — the multi-host
+    ``NativeDataLoader`` contract, where every host assembles
+    ``global_batch / process_count`` rows. The default assumes identical
+    batches on every process (single-host, or replicated synthetic data).
     """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
@@ -36,7 +42,9 @@ def prefetch_to_device(iterator: Iterable, size: int = 2,
 
     def _put(batch):
         if mesh is not None:
-            return shard_batch(batch, mesh)
+            from .parallel.mesh import shard_host_batch
+            fn = shard_host_batch if host_shards else shard_batch
+            return fn(batch, mesh)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
     def _offer(item) -> bool:

@@ -1,6 +1,7 @@
 from .mesh import (
     make_mesh,
     shard_batch,
+    shard_host_batch,
     replicate,
     shard_state,
     shard_model,
@@ -20,6 +21,7 @@ from .hetero_pipeline import HeteroPipeline
 __all__ = [
     "make_mesh",
     "shard_batch",
+    "shard_host_batch",
     "replicate",
     "shard_state",
     "shard_model",

@@ -47,10 +47,34 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a batch (pytree of arrays, leading batch dim) on the data axis."""
+    """Place a batch (pytree of arrays, leading batch dim) on the data axis.
+
+    Multi-host contract: every process must hold the SAME global batch
+    (``jax.device_put`` keeps only the rows its devices own). When each
+    host assembled only its own shard, use :func:`shard_host_batch`.
+    """
     def _shard(x):
         spec = P("data", *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(_shard, batch)
+
+
+def shard_host_batch(batch, mesh: Mesh):
+    """Assemble a GLOBAL batch from per-process local shards.
+
+    Each process passes its own ``global_batch / process_count`` rows
+    (e.g. a ``NativeDataLoader`` host shard); the returned arrays are
+    global, data-axis-sharded, with every row used exactly once. On a
+    single process this is identical to :func:`shard_batch`.
+    """
+    import numpy as np
+
+    def _shard(x):
+        spec = P("data", *([None] * (np.ndim(x) - 1)))
+        s = NamedSharding(mesh, spec)
+        if jax.process_count() == 1:
+            return jax.device_put(x, s)
+        return jax.make_array_from_process_local_data(s, np.asarray(x))
     return jax.tree_util.tree_map(_shard, batch)
 
 

@@ -37,6 +37,7 @@ from bnn_tpu.utils import (
     count_parameters,
     load_checkpoint,
     restore_into,
+    restore_optimizer,
     save_checkpoint,
 )
 
@@ -121,6 +122,10 @@ def main():
     if args.resume:
         payload = load_checkpoint(args.resume)
         restore_into(model, payload)
+        # Adam moments + step count too — resuming with reset moments
+        # silently diverges from an uninterrupted run (loss spike)
+        if payload.get("opt_state") is not None:
+            restore_optimizer(optimizer, payload)
         meta = payload.get("metadata", {})
         start_epoch = int(meta.get("epoch", 0))
         best_acc = float(meta.get("best_acc", 0.0))
@@ -164,11 +169,13 @@ def main():
         print(f"Epoch {epoch}: test acc {acc:.2f}% "
               f"(loss {tot['loss']/tot['count']:.4f})")
 
-        if acc > best_acc:
-            best_acc = acc
-        save_checkpoint(args.out, model,
+        # strict '>' (reference convention): a tie must NOT overwrite the
+        # earlier best checkpoint
+        is_best = acc > best_acc
+        best_acc = max(best_acc, acc)
+        save_checkpoint(args.out, model, opt_state=optimizer,
                         metadata={"epoch": epoch + 1, "best_acc": best_acc},
-                        is_best=acc >= best_acc)
+                        is_best=is_best)
     print(f"Best accuracy: {best_acc:.2f}%")
 
 

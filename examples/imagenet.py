@@ -111,18 +111,22 @@ def parse_args():
 
 
 def make_scheduler(args, steps_per_epoch):
-    warmup = optax.linear_schedule(0.0, args.lr,
-                                   args.warmup_epochs * steps_per_epoch)
+    warmup_steps = args.warmup_epochs * steps_per_epoch
+    warmup = optax.linear_schedule(0.0, args.lr, warmup_steps)
     if args.scheduler == "cosine":
         main = optax.cosine_decay_schedule(
             args.lr, max(1, (args.epochs - args.warmup_epochs) * steps_per_epoch))
     else:
+        # milestones are ABSOLUTE epochs; join_schedules feeds `main`
+        # warmup-relative steps, so shift the boundaries left (unshifted,
+        # every drop fired warmup_epochs late — same fix as engine.py)
         main = optax.piecewise_constant_schedule(
             args.lr,
-            {m * steps_per_epoch: 0.1 for m in args.milestones},
+            {m * steps_per_epoch - warmup_steps: 0.1
+             for m in args.milestones
+             if m * steps_per_epoch > warmup_steps},
         )
-    return optax.join_schedules([warmup, main],
-                                [args.warmup_epochs * steps_per_epoch])
+    return optax.join_schedules([warmup, main], [warmup_steps])
 
 
 def make_optimizer(args, schedule):
@@ -325,7 +329,8 @@ def validate(args, model, eval_step, mesh, val_loader):
     model.eval()
     tot = {"loss": 0.0, "top1": 0.0, "top5": 0.0, "count": 0.0}
     if val_loader is not None:
-        val_it = prefetch_to_device(iter(val_loader), mesh=mesh)
+        val_it = prefetch_to_device(iter(val_loader), mesh=mesh,
+                                    host_shards=True)
     elif args.data and not args.synthetic:
         val_it = npy_batches(args.data, "val", args.batch_size, False)
     else:
@@ -385,16 +390,22 @@ def main():
         steps_per_epoch = len(ys) // args.batch_size
         if xs.dtype == np.uint8:
             # native multi-core loader with torchvision-style train
-            # transforms; each host takes a disjoint shard per epoch
+            # transforms; each host takes a disjoint shard per epoch and
+            # assembles GLOBAL_BATCH / num_hosts rows (-b is the global
+            # batch; the per-host batches combine into one global array
+            # via shard_host_batch in the prefetch)
+            n_hosts = jax.process_count()
+            assert args.batch_size % n_hosts == 0, (args.batch_size, n_hosts)
+            local_bs = args.batch_size // n_hosts
             train_loader = NativeDataLoader(
-                xs, ys, args.batch_size,
+                xs, ys, local_bs,
                 mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
                 pad=4, flip=True, seed=args.seed)
             steps_per_epoch = len(train_loader)
             vxs = np.load(os.path.join(args.data, "val_x.npy"), mmap_mode="r")
             vys = np.load(os.path.join(args.data, "val_y.npy"))
             val_loader = NativeDataLoader(
-                vxs, vys, args.batch_size, shuffle=False,
+                vxs, vys, local_bs, shuffle=False,
                 mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225))
 
     # a recipe step may declare its own optimizer/lr_schedule/epochs (fully
@@ -466,7 +477,8 @@ def main():
             # native loader: per-epoch reshuffle + OpenMP batch assembly,
             # overlapped with device compute by the prefetcher
             train_loader.set_epoch(epoch)
-            it = prefetch_to_device(iter(train_loader), mesh=mesh)
+            it = prefetch_to_device(iter(train_loader), mesh=mesh,
+                                    host_shards=True)
         elif args.data and not args.synthetic:
             it = npy_batches(args.data, "train", args.batch_size, True,
                              seed=args.seed + epoch)

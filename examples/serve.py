@@ -115,7 +115,11 @@ def main():
     else:
         predictor = Predictor(build_model(args.num_classes), **common)
 
-    mode = ("TPU megakernels" if on_tpu else "CPU reference path")
+    # megakernels are disabled when TP forces fuse=False — say so
+    fused = on_tpu and common.get("fuse", False) is not False
+    mode = ("TPU megakernels" if fused
+            else "TPU unfused (XLA int8 convs)" if on_tpu
+            else "CPU reference path")
     if predictor.tensor_parallel:
         mode += (f", {len(predictor.tp_layers)}/{predictor.tp_total} deployed "
                  f"layers tensor-sharded over {args.tensor_parallel} chips")

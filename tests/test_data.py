@@ -204,3 +204,18 @@ class TestNativeDataLoader:
                                   process_index=0, process_count=1)
         x, y = next(iter(loader))
         np.testing.assert_allclose(x[:, 0, 0, 0] * 255.0, y, atol=1e-4)
+
+
+def test_shard_host_batch_single_process_equals_shard_batch():
+    """Single-process: shard_host_batch == shard_batch. (The multi-host
+    path — per-process shards assembled into one global array — runs in
+    the 2-process distributed test via make_array_from_process_local_data,
+    which is what shard_host_batch wraps.)"""
+    from bnn_tpu.parallel import shard_batch, shard_host_batch
+
+    mesh = make_mesh()
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    a = shard_batch(x, mesh)
+    b = shard_host_batch(x, mesh)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.sharding.spec == b.sharding.spec
