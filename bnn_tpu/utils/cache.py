@@ -52,10 +52,16 @@ def _default_dir() -> str:
 def enable_compilation_cache(path: str | None = None) -> str:
     """Turn on the persistent compilation cache (idempotent).
 
-    Call before the first ``jit`` compilation. Returns the cache dir.
+    Call before the first ``jit`` compilation. Returns the cache dir
+    ("" on the CPU backend: the cache exists for the 30-90s remote-TPU
+    compiles; XLA:CPU entries are AOT machine code whose loads emit
+    machine-feature warnings at best and SIGILL/abort across machines at
+    worst, while local CPU compiles are cheap anyway).
     """
     import jax
 
+    if jax.default_backend() == "cpu":
+        return ""
     path = path or os.environ.get("BNN_TPU_JAX_CACHE") or _default_dir()
     # machine-key EVERY cache dir, not just the default: a shared
     # (env-var/NFS) directory across heterogeneous machines hits the same
