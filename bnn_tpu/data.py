@@ -88,6 +88,18 @@ def prefetch_to_device(iterator: Iterable, size: int = 2,
                 break
 
 
+def _gather_crops(padded: np.ndarray, oy: np.ndarray, ox: np.ndarray,
+                  h: int, w: int) -> np.ndarray:
+    """Per-image crop gather via advanced indexing (one shot, no loop) —
+    the shared core of :func:`augment_crop_flip` and the loader's numpy
+    fallback."""
+    n = padded.shape[0]
+    rows = oy[:, None] + np.arange(h)[None, :]            # (n, h)
+    cols = ox[:, None] + np.arange(w)[None, :]            # (n, w)
+    return padded[np.arange(n)[:, None, None], rows[:, :, None],
+                  cols[:, None, :], :]
+
+
 def augment_crop_flip(x: np.ndarray, rng: np.random.Generator,
                       pad: int = 4) -> np.ndarray:
     """Vectorized random crop (reflect pad) + horizontal flip for NHWC
@@ -98,11 +110,7 @@ def augment_crop_flip(x: np.ndarray, rng: np.random.Generator,
                     mode="reflect")
     oy = rng.integers(0, 2 * pad + 1, n)
     ox = rng.integers(0, 2 * pad + 1, n)
-    # gather crops with advanced indexing (one shot, no loop)
-    rows = oy[:, None] + np.arange(h)[None, :]            # (n, h)
-    cols = ox[:, None] + np.arange(w)[None, :]            # (n, w)
-    out = padded[np.arange(n)[:, None, None], rows[:, :, None],
-                 cols[:, None, :], :]
+    out = _gather_crops(padded, oy, ox, h, w)
     flips = rng.random(n) < 0.5
     out[flips] = out[flips, :, ::-1]
     return out
@@ -239,10 +247,7 @@ class NativeDataLoader:
                              (0, 0)), mode=mode, **kw) + pv
                 oy = rng.integers(0, 2 * self.pad + 1, n)
                 ox = rng.integers(0, 2 * self.pad + 1, n)
-                rows = oy[:, None] + np.arange(h)[None, :]
-                cols = ox[:, None] + np.arange(w)[None, :]
-                x = padded[np.arange(n)[:, None, None], rows[:, :, None],
-                           cols[:, None, :], :]
+                x = _gather_crops(padded, oy, ox, h, w)
             if self.flip:
                 flips = rng.random(x.shape[0]) < 0.5
                 x[flips] = x[flips, :, ::-1]

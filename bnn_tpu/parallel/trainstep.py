@@ -28,13 +28,7 @@ def _logits_of(out):
     return out[0] if isinstance(out, tuple) else out
 
 
-def _cast_float_tree(tree, dtype):
-    return jax.tree.map(
-        lambda a: a.astype(dtype)
-        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-        else a,
-        tree,
-    )
+from ..utils.precision import cast_float_tree as _cast_float_tree
 
 
 def _mixed_forward(model, x, compute_dtype):

@@ -16,16 +16,22 @@ from flax import nnx
 __all__ = ["cast_floats"]
 
 
+def cast_float_tree(tree, dtype):
+    """Cast floating leaves of a pytree to ``dtype``; everything else
+    (int8/packed weights, counters) passes through. The ONE copy of the
+    mixed-precision cast rule (also used per-step by
+    ``make_train_step(compute_dtype=...)``)."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        tree,
+    )
+
+
 def cast_floats(obj: nnx.Module, dtype=jnp.bfloat16) -> nnx.Module:
     """Cast every floating-point array in ``obj``'s state to ``dtype``,
     in place. Integer state (packed/int8 weights, counters) is untouched.
     Feed inputs of the same dtype for a fully-``dtype`` float path."""
-    state = nnx.state(obj)
-    state = jax.tree.map(
-        lambda a: a.astype(dtype)
-        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-        else a,
-        state,
-    )
-    nnx.update(obj, state)
+    nnx.update(obj, cast_float_tree(nnx.state(obj), dtype))
     return obj
