@@ -6,7 +6,15 @@ import sys
 import pytest
 
 
+import os
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def _run(script, argv, monkeypatch):
+    # anchor at the repo root: a cwd-relative path fails under any runner
+    # not launched from the repo root
+    script = os.path.join(_REPO, script)
     monkeypatch.setattr(sys, "argv", [script] + argv)
     runpy.run_path(script, run_name="__main__")
 

@@ -249,9 +249,8 @@ class TestMixedPrecision:
 
 
 class TestPredictor:
-    def test_predictor_end_to_end(self, tmp_path):
+    def test_predictor_end_to_end(self):
         from bnn_tpu.inference import Predictor
-        from bnn_tpu.utils import save_checkpoint
 
         model = TestDeployModel()._bin_model()
         model.eval()

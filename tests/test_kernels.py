@@ -141,8 +141,12 @@ class TestDeployedPallasConvMode:
         np.testing.assert_allclose(dep(x), expected, rtol=1e-4, atol=1e-4)
 
 
-class TestPopcountGemm:
-    """Pallas packed-activation XNOR/popcount GEMM vs references."""
+class TestPallasPopcountGemm:
+    """Pallas packed-activation XNOR/popcount GEMM vs references.
+
+    (Renamed from a second ``TestPopcountGemm``, which shadowed the
+    reference-oracle class above — pytest silently collected only one.)
+    """
 
     def _case(self, m, k, n, seed):
         kx, kw_ = jax.random.split(jax.random.key(seed))
