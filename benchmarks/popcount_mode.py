@@ -62,6 +62,10 @@ def bench_layer(name, layer_fn, x, iters=30, rounds=2):
     print(f"{name}: mxu {t_mxu*1e6:8.1f} us ({flops/t_mxu/1e12:6.1f} TOP/s)  "
           f"popcount {t_pop*1e6:8.1f} us ({flops/t_pop/1e12:6.1f} TOP/s)  "
           f"ratio {t_mxu/t_pop:.2f}x", flush=True)
+    return {"shape": name, "mxu_us": round(t_mxu * 1e6, 1),
+            "popcount_us": round(t_pop * 1e6, 1),
+            "mxu_tops": round(flops / t_mxu / 1e12, 1),
+            "ratio_mxu_over_popcount": round(t_mxu / t_pop, 3)}
 
 
 def main():
@@ -88,6 +92,7 @@ def main():
          (8, 16384),
          lambda: blayers.Linear(16384, 4096, bconfig=Z1, rngs=nnx.Rngs(0))),
     ]
+    rows = []
     for tag, xshape, fn in shapes:
         # build the layer on CPU (init is hundreds of tiny ops — each a
         # round trip over a tunneled TPU) and bulk-transfer once
@@ -95,8 +100,15 @@ def main():
             layer = fn()
         x = jax.random.normal(key, xshape, jnp.bfloat16)
         t0 = time.time()
-        bench_layer(tag, lambda: layer, x)
+        rows.append(bench_layer(tag, lambda: layer, x))
         print(f"  [{time.time()-t0:.0f}s]", flush=True)
+
+    from benchmarks._artifacts import write_artifact
+    write_artifact("popcount_mode", {
+        "config": {"sign": "zero_to_one packed lanes",
+                   "float_dtype": "bfloat16"},
+        "rows": rows,
+    })
 
 
 if __name__ == "__main__":

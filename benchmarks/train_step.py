@@ -96,20 +96,35 @@ def timed_steps(label, binary, x, y, *, fwd_only=False, short=2, long=12):
         t0 = time.time(); float(run(st, x, short)); t_s = min(t_s, time.time() - t0)
         t0 = time.time(); float(run(st, x, long)); t_l = min(t_l, time.time() - t0)
     t = (t_l - t_s) / (long - short)
-    print(f"{label}: {t*1e3:.2f} ms/step ({n/t:.0f} img/s)", flush=True)
+    # stderr: bench.py reuses this helper and reserves stdout for its one
+    # parsed JSON line
+    print(f"{label}: {t*1e3:.2f} ms/step ({n/t:.0f} img/s)",
+          file=sys.stderr, flush=True)
     return t
 
 
 def main():
+    from benchmarks._artifacts import write_artifact
+
     on_tpu = jax.devices()[0].platform != "cpu"
     n, size = (64, 224) if on_tpu else (8, 64)
     x = jax.random.normal(jax.random.key(0), (n, size, size, 3), jnp.bfloat16)
     y = jax.random.randint(jax.random.key(1), (n,), 0, 1000)
-    timed_steps("plain fwd+bwd", False, x, y)
-    timed_steps("qat   fwd+bwd", True, x, y)
+    results = {
+        "plain_ms": timed_steps("plain fwd+bwd", False, x, y) * 1e3,
+        "qat_ms": timed_steps("qat   fwd+bwd", True, x, y) * 1e3,
+    }
     if "--fwd" in sys.argv:
-        timed_steps("plain fwd-only", False, x, y, fwd_only=True)
-        timed_steps("qat   fwd-only", True, x, y, fwd_only=True)
+        results["plain_fwd_ms"] = timed_steps(
+            "plain fwd-only", False, x, y, fwd_only=True) * 1e3
+        results["qat_fwd_ms"] = timed_steps(
+            "qat   fwd-only", True, x, y, fwd_only=True) * 1e3
+    write_artifact("train_step", {
+        "config": {"model": "resnet18", "batch": n, "image_size": size,
+                   "compute_dtype": "bfloat16", "masters": "f32",
+                   "optimizer": "adam"},
+        "results": {k: round(v, 3) for k, v in results.items()},
+    })
 
 
 if __name__ == "__main__":
