@@ -27,6 +27,7 @@ retraining needed.
 from __future__ import annotations
 
 import io
+import math
 import os
 import pickle
 import zipfile
@@ -71,6 +72,10 @@ class _StorageRef:
         self.dtype = dtype
 
     def asarray(self) -> np.ndarray:
+        if len(self.data) % self.dtype.itemsize:
+            raise pickle.UnpicklingError(
+                f"storage of {len(self.data)} bytes is not a multiple of "
+                f"itemsize {self.dtype.itemsize}")
         return np.frombuffer(self.data, dtype=self.dtype)
 
 
@@ -81,11 +86,19 @@ def _rebuild_tensor(storage: _StorageRef, storage_offset, size, stride, *args):
     The (offset, size, stride) triple comes straight from the (untrusted)
     pickle, and ``as_strided`` would happily read outside the storage
     buffer — so every extent is bounds-checked against the actual blob
-    before the view is taken."""
+    before the view is taken (tests/test_torch_import.py adversarial
+    corpus)."""
+    if not isinstance(storage, _StorageRef):
+        raise pickle.UnpicklingError(
+            f"tensor rebuild got {type(storage).__name__}, not a storage")
     flat = storage.asarray()
-    storage_offset = int(storage_offset)
-    size = tuple(int(s) for s in size)
-    stride = tuple(int(s) for s in stride)
+    try:
+        storage_offset = int(storage_offset)
+        size = tuple(int(s) for s in size)
+        stride = tuple(int(s) for s in stride)
+    except (TypeError, ValueError) as e:
+        raise pickle.UnpicklingError(
+            f"non-integer tensor geometry: {e}") from None
     if storage_offset < 0 or storage_offset >= max(flat.size, 1):
         raise pickle.UnpicklingError(
             f"tensor storage_offset {storage_offset} outside storage "
@@ -100,6 +113,17 @@ def _rebuild_tensor(storage: _StorageRef, storage_offset, size, stride, *args):
     if any(s < 0 for s in stride):
         raise pickle.UnpicklingError(
             f"negative strides not allowed in a checkpoint: {stride}")
+    if any(st == 0 and n > 1 for n, st in zip(size, stride)):
+        # stride-0 broadcast views pass the extent check below while
+        # .copy() materializes prod(size) elements — a memory bomb from
+        # 4 stored bytes. Checkpointed tensors are never expand()ed.
+        raise pickle.UnpicklingError(
+            f"zero stride over size>1 dim: size={size} stride={stride}")
+    if math.prod(size) > max(flat.size - storage_offset, 0):
+        raise pickle.UnpicklingError(
+            f"tensor of {math.prod(size)} elements over storage of "
+            f"{flat.size} (offset {storage_offset}) — overlapping or "
+            f"oversized view")
     if 0 not in size:
         last = storage_offset + sum(
             (n - 1) * s for n, s in zip(size, stride))
@@ -171,13 +195,27 @@ class _Unpickler(pickle.Unpickler):
             f"global '{module}.{name}' is not allowed in a torch checkpoint")
 
     def persistent_load(self, saved_id):
-        kind, tag, key, _location, _numel = saved_id
-        assert kind == "storage", kind
+        try:
+            kind, tag, key, _location, _numel = saved_id
+        except (TypeError, ValueError):
+            raise pickle.UnpicklingError(
+                f"malformed persistent id: {saved_id!r}") from None
+        if kind != "storage":
+            raise pickle.UnpicklingError(
+                f"unsupported persistent id kind {kind!r}")
+        tag = tag if isinstance(tag, str) else getattr(tag, "__name__", tag)
         if tag == "BFloat16Storage":
             dtype = _bfloat16_dtype()
+        elif tag in _STORAGE_DTYPES:
+            dtype = _STORAGE_DTYPES[tag]
         else:
-            dtype = _STORAGE_DTYPES[tag if isinstance(tag, str) else tag.__name__]
-        return _StorageRef(self._storages[str(key)], dtype)
+            raise pickle.UnpicklingError(f"unknown storage type {tag!r}")
+        try:
+            data = self._storages[str(key)]
+        except KeyError:
+            raise pickle.UnpicklingError(
+                f"checkpoint references missing storage {key!r}") from None
+        return _StorageRef(data, dtype)
 
 
 def load_torch_file(path: str) -> Any:
@@ -187,7 +225,11 @@ def load_torch_file(path: str) -> Any:
     """
     with zipfile.ZipFile(path) as zf:
         names = zf.namelist()
-        pkl_name = next(n for n in names if n.endswith("/data.pkl"))
+        pkl_name = next(
+            (n for n in names if n.endswith("/data.pkl")), None)
+        if pkl_name is None:
+            raise pickle.UnpicklingError(
+                f"{path}: no */data.pkl member — not a torch.save zip")
         prefix = pkl_name[: -len("data.pkl")]
         storages = {
             n[len(prefix) + len("data/"):]: zf.read(n)

@@ -200,3 +200,207 @@ def test_shape_mismatch_reported_once(tmp_path):
     missing, unexpected = import_torch_checkpoint(dst, path, strict=False)
     assert unexpected == []
     assert len(missing) == 1 and "shape" in missing[0], missing
+
+
+# ---------------------------------------------------------------------------
+# Adversarial corpus (VERDICT r4 next #8): the loader advertises itself as
+# safe on untrusted files; every hostile geometry/structure below must raise
+# a clean UnpicklingError/BadZipFile — never crash, OOB-read, or allocate
+# unboundedly. Checkpoints are HAND-CRAFTED zips (torch.save's layout:
+# archive/data.pkl + archive/data/<key> storages) so each field can be
+# poisoned independently.
+# ---------------------------------------------------------------------------
+import io
+import pickle as _pkl
+import zipfile as _zipfile
+
+
+class _StorageToken:
+    """Pickles (via persistent_id) into torch.save's storage reference."""
+
+    def __init__(self, tag="FloatStorage", key="0", numel=4):
+        self.tag, self.key, self.numel = tag, key, numel
+
+
+class _CraftedTensor:
+    """Pickles into a torch._utils._rebuild_tensor_v2 call with arbitrary
+    (hostile) offset/size/stride."""
+
+    def __init__(self, token, offset, size, stride):
+        self.token, self.offset = token, offset
+        self.size, self.stride = size, stride
+
+    def __reduce__(self):
+        import torch._utils as tu
+
+        return (tu._rebuild_tensor_v2,
+                (self.token, self.offset, self.size, self.stride, False, {}))
+
+
+class _Crafter(_pkl.Pickler):
+    def persistent_id(self, o):
+        if isinstance(o, _StorageToken):
+            return ("storage", o.tag, o.key, "cpu", o.numel)
+        return None
+
+
+def craft_ckpt(tmp_path, name, obj=None, storages=None, pkl_bytes=None,
+               pkl_name="archive/data.pkl"):
+    if pkl_bytes is None:
+        b = io.BytesIO()
+        _Crafter(b, protocol=2).dump(obj)
+        pkl_bytes = b.getvalue()
+    path = str(tmp_path / name)
+    with _zipfile.ZipFile(path, "w") as z:
+        if pkl_name is not None:
+            z.writestr(pkl_name, pkl_bytes)
+        for k, v in (storages or {}).items():
+            z.writestr(f"archive/data/{k}", v)
+    return path
+
+
+FOUR_FLOATS = np.arange(4, dtype="<f4").tobytes()
+
+
+def test_crafted_valid_checkpoint_loads(tmp_path):
+    """The crafting helper speaks real torch.save format (sanity anchor for
+    the hostile cases below)."""
+    t = _CraftedTensor(_StorageToken(), 0, (2, 2), (2, 1))
+    p = craft_ckpt(tmp_path, "ok.pth", {"w": t}, {"0": FOUR_FLOATS})
+    out = load_torch_file(p)
+    np.testing.assert_array_equal(out["w"],
+                                  np.arange(4, dtype="<f4").reshape(2, 2))
+
+
+@pytest.mark.parametrize("offset,size,stride", [
+    (-1, (2,), (1,)),            # negative offset
+    (99, (2,), (1,)),            # offset past storage
+    (0, (2, 3), (1,)),           # rank mismatch
+    (0, (-2,), (1,)),            # negative size
+    (0, (4,), (-1,)),            # negative stride
+    (0, (3,), (2,)),             # extent past storage end
+    (0, (2**20, 2**20), (0, 0)),  # stride-0 memory bomb over 4 floats
+    (0, (2**40,), (1,)),         # numel bomb
+    (2, (4,), (1,)),             # offset+size past end
+    ("x", (2,), (1,)),           # non-integer offset
+    (0, (2,), ("y",)),           # non-integer stride
+])
+def test_hostile_tensor_geometry(tmp_path, offset, size, stride):
+    t = _CraftedTensor(_StorageToken(), offset, size, stride)
+    p = craft_ckpt(tmp_path, "geom.pth", {"w": t}, {"0": FOUR_FLOATS})
+    with pytest.raises(_pkl.UnpicklingError):
+        load_torch_file(p)
+
+
+def test_missing_storage(tmp_path):
+    t = _CraftedTensor(_StorageToken(key="7"), 0, (2,), (1,))
+    p = craft_ckpt(tmp_path, "nostorage.pth", {"w": t}, {"0": FOUR_FLOATS})
+    with pytest.raises(_pkl.UnpicklingError, match="missing storage"):
+        load_torch_file(p)
+
+
+def test_unknown_storage_tag(tmp_path):
+    t = _CraftedTensor(_StorageToken(tag="EvilStorage"), 0, (2,), (1,))
+    p = craft_ckpt(tmp_path, "eviltag.pth", {"w": t}, {"0": FOUR_FLOATS})
+    with pytest.raises(_pkl.UnpicklingError, match="storage type"):
+        load_torch_file(p)
+
+
+def test_malformed_persistent_id(tmp_path):
+    class BadToken:
+        def __reduce_ex__(self, _):
+            raise NotImplementedError
+
+    class P(_pkl.Pickler):
+        def persistent_id(self, o):
+            if isinstance(o, BadToken):
+                return ("storage", "FloatStorage")  # wrong arity
+            return None
+
+    b = io.BytesIO()
+    P(b, protocol=2).dump({"w": BadToken()})
+    p = craft_ckpt(tmp_path, "badpid.pth", pkl_bytes=b.getvalue(),
+                   storages={"0": FOUR_FLOATS})
+    with pytest.raises(_pkl.UnpicklingError, match="persistent id"):
+        load_torch_file(p)
+
+    class P2(P):
+        def persistent_id(self, o):
+            if isinstance(o, BadToken):
+                return ("not-storage", "FloatStorage", "0", "cpu", 4)
+            return None
+
+    b2 = io.BytesIO()
+    P2(b2, protocol=2).dump({"w": BadToken()})
+    p2 = craft_ckpt(tmp_path, "badkind.pth", pkl_bytes=b2.getvalue(),
+                    storages={"0": FOUR_FLOATS})
+    with pytest.raises(_pkl.UnpicklingError, match="kind"):
+        load_torch_file(p2)
+
+
+def test_storage_not_dtype_multiple(tmp_path):
+    t = _CraftedTensor(_StorageToken(), 0, (1,), (1,))
+    p = craft_ckpt(tmp_path, "ragged.pth", {"w": t}, {"0": b"\x00" * 5})
+    with pytest.raises(_pkl.UnpicklingError, match="multiple"):
+        load_torch_file(p)
+
+
+def test_no_data_pkl(tmp_path):
+    p = craft_ckpt(tmp_path, "nopkl.pth", pkl_bytes=b"", pkl_name=None,
+                   storages={"0": FOUR_FLOATS})
+    with pytest.raises(_pkl.UnpicklingError, match="data.pkl"):
+        load_torch_file(p)
+
+
+def test_truncated_zip(tmp_path):
+    src = small_net(seed=0)
+    path = str(tmp_path / "full.pth")
+    torch.save({"state_dict": export_torch_state_dict(src)}, path)
+    blob = open(path, "rb").read()
+    for frac in (0.15, 0.6, 0.97):
+        tpath = str(tmp_path / f"trunc{frac}.pth")
+        with open(tpath, "wb") as f:
+            f.write(blob[: int(len(blob) * frac)])
+        with pytest.raises((_zipfile.BadZipFile, _pkl.UnpicklingError,
+                            EOFError)):
+            load_torch_file(tpath)
+
+
+def test_truncated_pickle_inside_zip(tmp_path):
+    t = _CraftedTensor(_StorageToken(), 0, (2, 2), (2, 1))
+    b = io.BytesIO()
+    _Crafter(b, protocol=2).dump({"w": t})
+    cut = b.getvalue()[: len(b.getvalue()) // 2]
+    p = craft_ckpt(tmp_path, "cutpkl.pth", pkl_bytes=cut,
+                   storages={"0": FOUR_FLOATS})
+    with pytest.raises((_pkl.UnpicklingError, EOFError)):
+        load_torch_file(p)
+
+
+def test_nested_container_bomb(tmp_path):
+    """Deep nesting must not crash the process (the C unpickler builds
+    iteratively); either a clean load or a clean refusal is acceptable.
+    The stream is raw opcodes — ``pickle.dumps`` itself recurses and
+    cannot produce it: PROTO2, EMPTY_DICT, BINUNICODE 'd', EMPTY_TUPLE,
+    then 5000 TUPLE1 wraps, SETITEM, STOP."""
+    depth = 5000
+    pkl_bytes = (b"\x80\x02}X\x01\x00\x00\x00d)" + b"\x85" * depth
+                 + b"s.")
+    p = craft_ckpt(tmp_path, "deep.pth", pkl_bytes=pkl_bytes)
+    try:
+        out = load_torch_file(p)
+        n = 0
+        cur = out["d"]
+        while isinstance(cur, tuple) and cur:
+            cur = cur[0]
+            n += 1
+        assert n == depth and cur == ()
+    except _pkl.UnpicklingError:
+        pass
+
+
+def test_zero_size_dim_is_fine(tmp_path):
+    t = _CraftedTensor(_StorageToken(), 0, (0, 3), (3, 1))
+    p = craft_ckpt(tmp_path, "empty.pth", {"w": t}, {"0": FOUR_FLOATS})
+    out = load_torch_file(p)
+    assert out["w"].shape == (0, 3)
