@@ -37,9 +37,16 @@ Bundle layout (a directory)::
     state.npz       weight leaves, key = leaf index
     meta.json       batch_size, dtypes, input signature, platforms
 
-Multi-chip note: ``Predictor(mesh=...)`` programs close over a live mesh
-(shard_map); v1 exports single-device programs only — shard requests
-across processes at the serving layer instead.
+Multi-chip bundles (format v2): a ``Predictor(mesh=...)`` — data-parallel
+or tensor-parallel — exports the whole shard_map program with its
+shardings (``jax.export`` carries ``nr_devices`` and per-argument
+shardings in the StableHLO). ``meta.json`` records the mesh axis
+names/sizes and each weight leaf's PartitionSpec; the loader rebuilds an
+equivalent mesh over the first ``nr_devices`` local devices, lays the
+leaves out per spec, and serves — round-tripped bit-exactly on the
+virtual 8-device mesh (tests/test_export.py). The device COUNT must
+match the export (that is jax.export's contract); the physical devices
+need not be the same ones.
 """
 from __future__ import annotations
 
@@ -53,10 +60,51 @@ import numpy as np
 
 __all__ = ["export_serving", "load_serving", "ExportedServer"]
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 _PROGRAM = "program.jaxir"
 _STATE = "state.npz"
 _META = "meta.json"
+
+
+def _encode_spec(spec) -> list:
+    """PartitionSpec -> JSON (entry: None | str | [str, ...])."""
+    out = []
+    for e in tuple(spec):
+        out.append(list(e) if isinstance(e, (tuple, list)) else e)
+    return out
+
+
+def _decode_spec(entries):
+    from jax.sharding import PartitionSpec as P
+
+    return P(*[tuple(e) if isinstance(e, list) else e for e in entries])
+
+
+def _strip_padding(out, n: int, mesh):
+    """``out[:n]`` that also works when ``out`` is batch-sharded and ``n``
+    does not divide over the mesh: slicing a sharded axis to a non-multiple
+    length has no unambiguous sharding, so replicate first (a serving-
+    boundary readback that was about to happen anyway)."""
+    if out.shape[0] == n:
+        return out
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = getattr(out, "sharding", None)
+        if (isinstance(sharding, NamedSharding)
+                and any(e is not None for e in tuple(sharding.spec))):
+            out = jax.device_put(out, NamedSharding(mesh, P()))
+    return out[:n]
+
+
+def _leaf_spec(leaf):
+    """The PartitionSpec a live array is laid out with (P() if unsharded)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = getattr(leaf, "sharding", None)
+    if isinstance(sharding, NamedSharding):
+        return sharding.spec
+    return P()
 
 
 def export_serving(predictor, path: str, input_shape: Sequence[int], *,
@@ -70,13 +118,7 @@ def export_serving(predictor, path: str, input_shape: Sequence[int], *,
     """
     from jax import export as jax_export
 
-    if predictor.mesh is not None:
-        raise ValueError(
-            "export_serving supports single-device predictors only: a "
-            "mesh-sharded program closes over a live device mesh. Export "
-            "a mesh=None predictor and shard requests at the serving "
-            "layer.")
-
+    mesh = predictor.mesh
     leaves = [jnp.asarray(l) for l in jax.tree.flatten(predictor._state)[0]]
     treedef = jax.tree.structure(predictor._state)
     graphdef = predictor._graphdef
@@ -88,14 +130,47 @@ def export_serving(predictor, path: str, input_shape: Sequence[int], *,
         out = nnx.merge(graphdef, state)(x)
         return out[0] if isinstance(out, tuple) else out
 
-    x_aval = jax.ShapeDtypeStruct(
-        (predictor.batch_size, *input_shape), predictor.dtype)
-    leaf_avals = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
+    x_shape = (predictor.batch_size, *input_shape)
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    exported = jax_export.export(jax.jit(_flat_run), **kwargs)(
-        leaf_avals, x_aval)
+    mesh_meta = None
+    if mesh is None:
+        x_aval = jax.ShapeDtypeStruct(x_shape, predictor.dtype)
+        leaf_avals = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
+        fn = jax.jit(_flat_run)
+    else:
+        # export the SAME shard_map program the live predictor serves:
+        # per-leaf specs read off the live (already laid-out) arrays, the
+        # request batch split over the data axis (replicated for pure-TP
+        # meshes). jax.export records nr_devices + shardings; the loader
+        # rebuilds an equivalent mesh (axis names/sizes in meta).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if platforms is not None:
+            raise ValueError(
+                "multi-platform lowering and mesh export are mutually "
+                "exclusive: a sharded program is compiled for its mesh")
+        leaf_specs = [_leaf_spec(l) for l in leaves]
+        batch_axis = getattr(predictor, "batch_axis", "data")
+        x_spec = P(batch_axis) if batch_axis in mesh.shape else P()
+        sharded = jax.shard_map(
+            _flat_run, mesh=mesh, in_specs=(leaf_specs, x_spec),
+            out_specs=x_spec, check_vma=False)
+        fn = jax.jit(sharded)
+        x_aval = jax.ShapeDtypeStruct(
+            x_shape, predictor.dtype, sharding=NamedSharding(mesh, x_spec))
+        leaf_avals = [
+            jax.ShapeDtypeStruct(l.shape, l.dtype,
+                                 sharding=NamedSharding(mesh, s))
+            for l, s in zip(leaves, leaf_specs)]
+        mesh_meta = {
+            "axis_names": list(mesh.axis_names),
+            "axis_sizes": [int(mesh.shape[a]) for a in mesh.axis_names],
+            "x_spec": _encode_spec(x_spec),
+            "leaf_specs": [_encode_spec(s) for s in leaf_specs],
+        }
+    exported = jax_export.export(fn, **kwargs)(leaf_avals, x_aval)
 
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _PROGRAM), "wb") as f:
@@ -119,6 +194,8 @@ def export_serving(predictor, path: str, input_shape: Sequence[int], *,
         "n_leaves": len(leaves),
         "leaf_dtypes": dtypes,
         "platforms": list(exported.platforms),
+        "nr_devices": int(exported.nr_devices),
+        "mesh": mesh_meta,
     }
     with open(os.path.join(path, _META), "w") as f:
         json.dump(meta, f, indent=1)
@@ -129,12 +206,32 @@ class ExportedServer:
 
     def __init__(self, exported, leaves, meta: dict):
         self._exported = exported
-        self._leaves = leaves
         self.meta = meta
         self.batch_size = int(meta["batch_size"])
         self.input_shape: Tuple[int, ...] = tuple(meta["input_shape"])
         self.platforms: Tuple[str, ...] = tuple(meta["platforms"])
         self.dtype = jnp.dtype(meta["input_dtype"])
+        self.mesh = None
+        self._x_sharding = None
+        mesh_meta = meta.get("mesh")
+        if mesh_meta:
+            from jax.sharding import Mesh, NamedSharding
+
+            n = int(meta.get("nr_devices", 1))
+            devs = jax.devices()
+            if len(devs) < n:
+                raise ValueError(
+                    f"bundle was exported for {n} devices; only "
+                    f"{len(devs)} available")
+            self.mesh = Mesh(
+                np.array(devs[:n]).reshape(mesh_meta["axis_sizes"]),
+                tuple(mesh_meta["axis_names"]))
+            leaves = [
+                jax.device_put(l, NamedSharding(self.mesh, _decode_spec(s)))
+                for l, s in zip(leaves, mesh_meta["leaf_specs"])]
+            self._x_sharding = NamedSharding(
+                self.mesh, _decode_spec(mesh_meta["x_spec"]))
+        self._leaves = leaves
         self._forward = jax.jit(exported.call)
 
     def __call__(self, x) -> jax.Array:
@@ -148,10 +245,14 @@ class ExportedServer:
         if padded_n != n:
             pad = [(0, padded_n - n)] + [(0, 0)] * (x.ndim - 1)
             x = jnp.pad(x, pad)
-        outs = [self._forward(self._leaves, x[i:i + bs])
-                for i in range(0, padded_n, bs)]
+        def _one(xb):
+            if self._x_sharding is not None:
+                xb = jax.device_put(xb, self._x_sharding)
+            return self._forward(self._leaves, xb)
+
+        outs = [_one(x[i:i + bs]) for i in range(0, padded_n, bs)]
         out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-        return out[:n]
+        return _strip_padding(out, n, self.mesh)
 
     def state_bytes(self) -> int:
         return sum(l.size * l.dtype.itemsize for l in self._leaves)
@@ -170,10 +271,11 @@ def load_serving(path: str) -> ExportedServer:
         raise FileNotFoundError(f"not a serving bundle (no {_META}): {path}")
     with open(meta_path) as f:
         meta = json.load(f)
-    if meta.get("format_version") != _FORMAT_VERSION:
+    if meta.get("format_version") not in (1, _FORMAT_VERSION):
         raise ValueError(
             f"unsupported bundle format {meta.get('format_version')!r} "
-            f"(loader supports {_FORMAT_VERSION})")
+            f"(loader supports 1..{_FORMAT_VERSION}; v1 = single-device, "
+            f"v2 adds mesh bundles)")
     with open(os.path.join(path, _PROGRAM), "rb") as f:
         exported = jax_export.deserialize(f.read())
     npz = np.load(os.path.join(path, _STATE))

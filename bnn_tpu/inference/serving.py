@@ -119,6 +119,8 @@ class Predictor:
         self.batch_size = batch_size
         self.dtype = dtype or jnp.float32
         self.mesh = mesh
+        self.batch_axis = batch_axis
+        self.model_axis = model_axis
         self.tensor_parallel = tensor_parallel
         if tensor_parallel:
             from ..binarize import named_modules
@@ -220,4 +222,5 @@ class Predictor:
         for i in range(0, padded_n, bs):
             outs.append(self._forward(self._state, x[i:i + bs]))
         out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-        return out[:n]
+        from .export import _strip_padding
+        return _strip_padding(out, n, self.mesh)

@@ -139,12 +139,54 @@ class TestExportRoundTrip:
         np.testing.assert_array_equal(np.asarray(server(x)),
                                       np.asarray(pred(x)))
 
-    def test_mesh_predictor_refused(self, tmp_path):
+    def test_mesh_dp_round_trip(self, tmp_path):
+        """Format v2: a data-parallel (shard_map) predictor freezes whole —
+        the loader rebuilds an equivalent mesh over the local devices and
+        reproduces the live predictor bit-exactly."""
         mesh = jax.make_mesh((2,), ("data",))
         pred = Predictor.from_model(_bin_model(), batch_size=4,
                                     use_pallas=False, dtype=None, mesh=mesh)
-        with pytest.raises(ValueError, match="single-device"):
-            export_serving(pred, str(tmp_path / "b"), input_shape=(8, 8, 3))
+        path = str(tmp_path / "dp_bundle")
+        export_serving(pred, path, input_shape=(8, 8, 3))
+        server = load_serving(path)
+        assert server.mesh is not None
+        assert dict(zip(server.mesh.axis_names,
+                        server.mesh.devices.shape)) == {"data": 2}
+        x = _rand(jax.random.key(0), (6, 8, 8, 3))  # pads to 8, two execs
+        np.testing.assert_array_equal(np.asarray(server(x)),
+                                      np.asarray(pred(x)))
+
+    def test_mesh_tp_round_trip(self, tmp_path):
+        """The north-star topology: tensor-parallel serving (per-layer
+        out-channel shards + in-forward all-gathers) frozen into a bundle
+        and served back on a fresh dp2xtp4 mesh, bit-exactly."""
+        from bnn_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=2, model=4)
+        pred = Predictor.from_model(
+            _bin_model(), batch_size=4, use_pallas=False, fuse=False,
+            space_to_depth=False, dtype=None, mesh=mesh,
+            tensor_parallel=True)
+        assert pred.tp_layers, "no layers sharded — test is vacuous"
+        path = str(tmp_path / "tp_bundle")
+        export_serving(pred, path, input_shape=(8, 8, 3))
+        meta = json.load(open(os.path.join(path, "meta.json")))
+        assert meta["nr_devices"] == 8
+        # sharded leaves carry their PartitionSpecs into the manifest
+        assert any(spec and "model" in str(spec)
+                   for spec in meta["mesh"]["leaf_specs"])
+        server = load_serving(path)
+        x = _rand(jax.random.key(1), (4, 8, 8, 3))
+        np.testing.assert_array_equal(np.asarray(server(x)),
+                                      np.asarray(pred(x)))
+
+    def test_mesh_export_rejects_multi_platform(self, tmp_path):
+        mesh = jax.make_mesh((2,), ("data",))
+        pred = Predictor.from_model(_bin_model(), batch_size=4,
+                                    use_pallas=False, dtype=None, mesh=mesh)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            export_serving(pred, str(tmp_path / "b"), input_shape=(8, 8, 3),
+                           platforms=("cpu", "tpu"))
 
     def test_loader_validates(self, tmp_path):
         with pytest.raises(FileNotFoundError):
