@@ -1,0 +1,79 @@
+"""Accuracy-at-convergence parity vs the RUNNABLE torch reference (nightly).
+
+The last measurable piece of the north star (BASELINE.json:5 "XNOR R18
+top-1 within 0.5 pt"): both frameworks train the SAME binary config from
+IDENTICAL init (real-checkpoint weight transfer) on identical synthetic
+class-conditional batches to plateau, and HELD-OUT top-1 is compared — the
+quantity the reference's own loop reports and checkpoints on
+(ref examples/cifar10.py:126-167). Full-scale runs + measured numbers live
+in benchmarks/convergence_parity.py + PARITY.md; these nightly tests run a
+reduced-but-real version (~20 min each on the 2-core CI host).
+
+Tolerances: binary trajectories are chaotic across frameworks (any ~1e-7
+backend difference flips a sign bit and the runs decorrelate), so the
+assertion is about CONVERGED QUALITY, not trajectory: plateau top-1 within
+2 pt on the reduced config (the full-scale run in PARITY.md asserts 1 pt),
+plus the absolute floor that each binary model reaches >= 90% of its own
+framework's fp32 twin.
+"""
+import numpy as np
+import pytest
+
+from benchmarks.convergence_parity import (
+    make_dataset,
+    run_config_pair,
+    run_recipe_pair,
+)
+from benchmarks.parity_vs_reference import reference_available
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not reference_available(),
+                       reason="torch reference not importable"),
+]
+
+EPOCHS = 6
+FP32_EPOCHS = 3
+BATCH = 32
+
+
+@pytest.fixture(scope="module")
+def data():
+    return make_dataset(n_train=1600, n_test=500, size=32, noise=1.0)
+
+
+@pytest.fixture(scope="module")
+def fp32_pair(data):
+    return run_config_pair("fp32", data, epochs=FP32_EPOCHS, batch=BATCH,
+                           log=lambda *a: None)
+
+
+def test_fp32_twins_converge_together(fp32_pair):
+    """Same init, same batches, no binarization: the two frameworks'
+    held-out accuracies must land close (gradient parity at training
+    depth; residual gap = maxpool tie-routing + fp noise)."""
+    assert fp32_pair["ref"]["plateau"] > 60.0, fp32_pair
+    assert fp32_pair["ours"]["plateau"] > 60.0, fp32_pair
+    assert fp32_pair["plateau_gap_pt"] <= 2.0, fp32_pair
+
+
+def test_binary_convergence_parity(data, fp32_pair):
+    binary = run_config_pair("xnor_scaled", data, epochs=EPOCHS,
+                             batch=BATCH, log=lambda *a: None)
+    assert binary["plateau_gap_pt"] <= 2.0, binary
+    for side in ("ref", "ours"):
+        floor = 0.90 * fp32_pair[side]["plateau"]
+        assert binary[side]["plateau"] >= floor, (side, binary, fp32_pair)
+
+
+def test_recipe_convergence_parity(data):
+    """The reference's own 2-step xnor-net-plus recipe end-to-end in both
+    BinaryChefs (step1 re-converts the TRAINED step0 model, weights carry
+    over — ref bnn/engine.py:51-79); final held-out top-1 compared."""
+    rec = run_recipe_pair(data, epochs_per_step=4, batch=BATCH,
+                          log=lambda *a: None)
+    last = rec["steps"][-1]
+    assert rec["plateau_gap_pt"] <= 2.0, rec
+    # step-1 training must not destroy what step 0 learned
+    assert last["ref"]["plateau"] > 50.0, rec
+    assert last["ours"]["plateau"] > 50.0, rec
