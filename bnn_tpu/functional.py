@@ -16,6 +16,7 @@ single fused XLA HLO.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Sequence, Tuple, Union
 
 import jax
@@ -107,11 +108,75 @@ def _pool_padding(nd: int, window, strides, spatial, padding: Size, ceil_mode: b
     return out
 
 
+# Gradient routing through max_pool ties. 'exact' = XLA select_and_scatter
+# (first-argmax, torch-identical — the default and the parity oracle).
+# 'all_ties' = every tied maximum receives the full window gradient: a
+# cheaper, symmetric backward built from strided slices + scatter-adds that
+# avoids select_and_scatter (883us of the B=64 QAT step on v5e,
+# benchmarks/artifacts/profile_train_b64.json). Differs from torch ONLY
+# when a window holds exact duplicates of its max — common post-ReLU, so
+# this is an opt-in speed knob (benchmarks/train_sweep.py measures it),
+# never a silent default.
+_POOL_GRAD_MODE = "exact"
+
+
+def set_pool_grad_mode(mode: str) -> str:
+    """Set max_pool's gradient tie routing; returns the previous mode."""
+    global _POOL_GRAD_MODE
+    assert mode in ("exact", "all_ties"), mode
+    prev, _POOL_GRAD_MODE = _POOL_GRAD_MODE, mode
+    return prev
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _max_pool_all_ties(x, window, strides, pad):
+    neg_inf = -jnp.inf
+    return lax.reduce_window(x, neg_inf, lax.max, window, strides, pad)
+
+
+def _mp_at_fwd(x, window, strides, pad):
+    out = _max_pool_all_ties(x, window, strides, pad)
+    return out, (x, out)
+
+
+def _mp_at_bwd(window, strides, pad, res, g):
+    x, out = res
+    _, kh, kw, _ = window
+    _, sh, sw, _ = strides
+    (_, _), (ph_lo, _), (pw_lo, _), (_, _) = pad
+    H, W = x.shape[1], x.shape[2]
+    oH, oW = out.shape[1], out.shape[2]
+    grad = jnp.zeros_like(x)
+    for ki in range(kh):
+        for kj in range(kw):
+            # window w covers input p = w*s + k - pad_lo; keep valid w
+            wi0 = max(0, -(-(0 - ki + ph_lo) // sh))
+            wj0 = max(0, -(-(0 - kj + pw_lo) // sw))
+            wi1 = min(oH, (H - 1 - ki + ph_lo) // sh + 1)
+            wj1 = min(oW, (W - 1 - kj + pw_lo) // sw + 1)
+            if wi1 <= wi0 or wj1 <= wj0:
+                continue
+            i0, j0 = wi0 * sh + ki - ph_lo, wj0 * sw + kj - pw_lo
+            i1, j1 = (wi1 - 1) * sh + ki - ph_lo + 1, \
+                (wj1 - 1) * sw + kj - pw_lo + 1
+            xs = x[:, i0:i1:sh, j0:j1:sw, :]
+            os_ = out[:, wi0:wi1, wj0:wj1, :]
+            c = jnp.where(xs == os_, g[:, wi0:wi1, wj0:wj1, :], 0)
+            grad = grad.at[:, i0:i1:sh, j0:j1:sw, :].add(c)
+    return (grad,)
+
+
+_max_pool_all_ties.defvjp(_mp_at_fwd, _mp_at_bwd)
+
+
 def max_pool(x: jax.Array, kernel_size: Size, stride: Size = None, padding: Size = 0,
              ceil_mode: bool = False) -> jax.Array:
     """Max pooling over channels-last input (torch ``nn.MaxPool1d/2d`` semantics)."""
     nd, window, strides = _pool_dims(x.ndim, kernel_size, stride)
     pad = _pool_padding(nd, window, strides, x.shape[1:-1], padding, ceil_mode)
+    if (_POOL_GRAD_MODE == "all_ties" and x.ndim == 4
+            and jnp.issubdtype(x.dtype, jnp.floating)):
+        return _max_pool_all_ties(x, window, strides, tuple(pad))
     neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(x, neg_inf, lax.max, window, strides, pad)
 

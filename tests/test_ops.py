@@ -221,3 +221,52 @@ class TestReferenceFunctionShims:
         x = jax.random.normal(jax.random.key(0), (128,))
         y = SignActivationStochastic.apply(x, jax.random.key(1))
         assert set(map(float, jnp.unique(y))) <= {-1.0, 1.0}
+
+
+class TestPoolGradModes:
+    """max_pool tie-routing knob (bnn_tpu/functional.py): 'exact' is the
+    torch-parity select_and_scatter default; 'all_ties' is the opt-in fast
+    backward (sends the window gradient to EVERY tied maximum) measured in
+    benchmarks/train_sweep.py. On tie-free inputs the two must agree."""
+
+    def _grad(self, x, g, k=3, s=2, p=1):
+        import bnn_tpu.functional as F
+
+        return jax.grad(lambda v: (F.max_pool(v, k, s, p) * g).sum())(x)
+
+    def test_tie_free_matches_exact(self):
+        import bnn_tpu.functional as F
+
+        x = jax.random.normal(jax.random.key(0), (2, 13, 13, 5))
+        g = jax.random.normal(jax.random.key(1), (2, 7, 7, 5))
+        gx_exact = self._grad(x, g)
+        out_exact = F.max_pool(x, 3, 2, 1)
+        prev = F.set_pool_grad_mode("all_ties")
+        try:
+            assert jnp.array_equal(F.max_pool(x, 3, 2, 1), out_exact)
+            gx_at = self._grad(x, g)
+        finally:
+            F.set_pool_grad_mode(prev)
+        np.testing.assert_allclose(np.asarray(gx_at), np.asarray(gx_exact),
+                                   rtol=0, atol=1e-5)
+
+    def test_ties_share_gradient(self):
+        import bnn_tpu.functional as F
+
+        x = jnp.zeros((1, 4, 4, 1)).at[0, 1, 1, 0].set(5.0)
+        x = x.at[0, 1, 2, 0].set(5.0)
+        g = jnp.ones((1, 2, 2, 1))
+        prev = F.set_pool_grad_mode("all_ties")
+        try:
+            gx = np.asarray(self._grad(x, g))[0, :, :, 0]
+        finally:
+            F.set_pool_grad_mode(prev)
+        # (1,1) is max of 4 windows, (1,2) ties in the two right windows
+        assert gx[1, 1] == 4.0 and gx[1, 2] == 2.0
+        gx_exact = np.asarray(self._grad(x, g))[0, :, :, 0]
+        assert gx_exact[1, 1] == 4.0 and gx_exact[1, 2] == 0.0  # first-argmax
+
+    def test_default_mode_is_exact(self):
+        import bnn_tpu.functional as F
+
+        assert F._POOL_GRAD_MODE == "exact"
