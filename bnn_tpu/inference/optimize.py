@@ -94,21 +94,36 @@ def fold_bn_before(bn: nn.BatchNorm2d, conv: "DeployedConv") -> bool:
     tau = -b / a_safe
     flip = jnp.where(a >= 0, 1, -1).astype(jnp.int8)  # per in-channel
 
+    def _conv_layout_flip(w, dtype):
+        """Flip factor for (*spatial, I, O) kernels. groups==1: axis -2
+        IS the in-channel axis. Grouped convs (BATS sep/dil convs): the
+        kernel's I axis is C_in/groups wide and out-channel block g
+        consumes input channels [g*I, (g+1)*I) — the flip is a 2D (I, O)
+        map, flip[(o // (O/groups)) * I + i]."""
+        if conv.groups == 1:
+            return flip.astype(dtype)[:, None]
+        I, O = w.shape[-2], w.shape[-1]
+        per_g = O // conv.groups
+        f = flip.reshape(conv.groups, I)            # (G, I)
+        f = jnp.repeat(f[:, None, :], per_g, axis=1)  # (G, O/G, I)
+        return f.reshape(O, I).T.astype(dtype)      # (I, O), o group-major
+
     if conv.weight_format == "int8":
         w = conv.w_packed[...]
-        conv.w_packed[...] = w * flip[:, None]
+        conv.w_packed[...] = w * _conv_layout_flip(w, w.dtype)
     else:
         w = unpack_bits(conv.w_packed[...], conv.k, axis=-2, dtype=jnp.float32)
         w = w[..., : conv.k, :]
         if conv.mode in ("conv", "pallas-conv"):
-            # (*spatial, I, O) layout: axis -2 IS the in-channel axis
-            fk = flip.astype(jnp.float32)
+            fk = _conv_layout_flip(w, jnp.float32)
         else:
             # GEMM/im2col layout: the K axis is channel-MAJOR (I, *taps)
-            # — repeat each channel's flip across its filter positions
+            # — repeat each channel's flip across its filter positions.
+            # Grouped convs never take this path (deploy.py forces
+            # mode='conv' for groups != 1).
             fk = jnp.repeat(flip, conv.k // flip.shape[0]).astype(
-                jnp.float32)
-        w = w * fk[:, None]
+                jnp.float32)[:, None]
+        w = w * fk
         # repack: flipped zeros cannot appear (w is +/-1 here)
         conv.w_packed[...] = pack_bits(w, axis=-2)
     conv.threshold = nnx.data(nnx.Variable(tau.astype(jnp.float32)))

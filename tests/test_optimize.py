@@ -111,6 +111,36 @@ class TestPreActThresholdFold:
         assert n == 1
         np.testing.assert_allclose(dep(x), expected, rtol=2e-4, atol=2e-4)
 
+    def test_threshold_fold_grouped_conv(self):
+        """Grouped convs (BATS sep/dil ops): the kernel I axis is only
+        C_in/groups wide, so the per-in-channel BN flips are a 2D (I, O)
+        map keyed by each output channel's group. A (C_in, 1) broadcast
+        crashed here (found by the BATS serving sweep); both int8 and
+        packed formats must fold bit-exactly at the prediction level."""
+        from bnn_tpu import layers as blayers
+        from bnn_tpu.inference import fold_bn_before
+        from bnn_tpu.inference.deploy import DeployedConv
+
+        for fmt in ("int8", "packed"):
+            rngs = nnx.Rngs(0)
+            bn = nn.BatchNorm2d(12, rngs=rngs)
+            bn.use_running_average = True
+            bn.scale[...] = jnp.where(jnp.arange(12) % 3 == 0, -1.5, 2.0)
+            bn.mean[...] = jnp.linspace(-0.5, 0.5, 12)
+            bn.var[...] = jnp.full((12,), 0.8)
+            bn.bias[...] = jnp.linspace(0.2, -0.2, 12)
+            bconv = blayers.Conv2d(12, 24, 3, padding=1, groups=4,
+                                   bconfig=BC_PM1, rngs=rngs)
+            dconv = DeployedConv(bconv, use_pallas=False,
+                                 weight_format=fmt)
+            assert dconv.mode == "conv" and dconv.groups == 4
+            x = _no_zeros(jax.random.normal(jax.random.key(11),
+                                            (2, 6, 6, 12)))
+            expected = dconv(bn(x))
+            assert fold_bn_before(bn, dconv)
+            np.testing.assert_allclose(dconv(x), expected, rtol=2e-4,
+                                       atol=2e-4)
+
     def test_threshold_fold_im2col_layout(self):
         """GEMM/im2col-layout weights are channel-MAJOR on the K axis:
         the per-channel BN sign flips must repeat over the filter taps
