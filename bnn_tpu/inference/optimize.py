@@ -61,11 +61,15 @@ def fold_bn_after(layer, bn: nn.BatchNorm2d) -> bool:
     if isinstance(layer, (DeployedConv, DeployedLinear)):
         if layer.spatial_post is not None:
             return False  # XNORScale between conv and bn: not affine-safe
+        if a.shape[0] != layer.scale[...].shape[-1]:
+            return False  # container adjacency != data-flow adjacency
         layer.scale[...] = layer.scale[...] * a
         layer.add[...] = layer.add[...] * a + b
         return True
     if isinstance(layer, (nn.Conv1d, nn.Conv2d, nn.Linear)) and \
             type(layer).__module__ == "bnn_tpu.nn":
+        if a.shape[0] != layer.kernel[...].shape[-1]:
+            return False  # container adjacency != data-flow adjacency
         # float layer: scale kernel out-channels, adjust bias
         layer.kernel[...] = layer.kernel[...] * a
         if layer.bias is not None:
@@ -88,6 +92,12 @@ def fold_bn_before(bn: nn.BatchNorm2d, conv: "DeployedConv") -> bool:
     if conv.spatial_post is not None:
         return False  # XNORScale reads the raw layer input; fold changes it
     a, b = _bn_affine(bn)
+    if a.shape[0] != conv.in_channels:
+        # container adjacency is not data-flow adjacency: e.g. a BATS cell
+        # holds bn(C_cell) next to a conv that consumes a channel slice /
+        # different width — folding would scale channels the conv never
+        # sees. Only fold when the BN feeds the conv's full input.
+        return False
     # sign(a x + b): threshold tau = -b / a, output flipped where a < 0.
     # Guard exact zeros in a (degenerate BN channel).
     a_safe = jnp.where(a == 0, 1e-12, a)
@@ -108,7 +118,11 @@ def fold_bn_before(bn: nn.BatchNorm2d, conv: "DeployedConv") -> bool:
         f = jnp.repeat(f[:, None, :], per_g, axis=1)  # (G, O/G, I)
         return f.reshape(O, I).T.astype(dtype)      # (I, O), o group-major
 
-    if conv.weight_format == "int8":
+    if conv.mode in ("conv", "pallas-conv") and conv.weight_format == "int8":
+        # only conv-layout int8 stores literal +/-1 weights; GEMM-mode
+        # convs store bit-packed u32 REGARDLESS of weight_format
+        # (deploy.py: "GEMM paths need the patch-extraction order") and
+        # must take the unpack/repack path below
         w = conv.w_packed[...]
         conv.w_packed[...] = w * _conv_layout_flip(w, w.dtype)
     else:

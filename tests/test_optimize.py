@@ -141,6 +141,32 @@ class TestPreActThresholdFold:
             np.testing.assert_allclose(dconv(x), expected, rtol=2e-4,
                                        atol=2e-4)
 
+    def test_threshold_fold_gemm_mode_int8_format(self):
+        """weight_format='int8' on a GEMM-mode pointwise conv: storage is
+        bit-packed u32 REGARDLESS of the format flag (deploy.py stores
+        patch-extraction order packed), so the fold must take the
+        unpack/repack path, not the literal-int8 multiply (crashed on
+        BATS preprocess 1x1 convs, found by the serving sweep)."""
+        from bnn_tpu import layers as blayers
+        from bnn_tpu.inference import fold_bn_before
+        from bnn_tpu.inference.deploy import DeployedConv
+
+        rngs = nnx.Rngs(0)
+        C = 288
+        bn = nn.BatchNorm2d(C, rngs=rngs)
+        bn.use_running_average = True
+        bn.scale[...] = jnp.where(jnp.arange(C) % 2 == 0, -1.5, 2.0)
+        bn.mean[...] = jnp.linspace(-0.5, 0.5, C)
+        bn.var[...] = jnp.full((C,), 0.8)
+        bn.bias[...] = jnp.linspace(0.2, -0.2, C)
+        bconv = blayers.Conv2d(C, 72, 1, bconfig=BC_PM1, rngs=rngs)
+        dconv = DeployedConv(bconv, use_pallas=False, weight_format="int8")
+        assert dconv.mode == "gemm", dconv.mode
+        x = _no_zeros(jax.random.normal(jax.random.key(3), (2, 4, 4, C)))
+        expected = dconv(bn(x))
+        assert fold_bn_before(bn, dconv)
+        np.testing.assert_allclose(dconv(x), expected, rtol=2e-4, atol=2e-4)
+
     def test_threshold_fold_im2col_layout(self):
         """GEMM/im2col-layout weights are channel-MAJOR on the K axis:
         the per-channel BN sign flips must repeat over the filter taps
