@@ -134,6 +134,8 @@ VARIANTS = {
     "pool_all_ties": {"pool_grad": "all_ties"},
     "donate": {"donate": True},
     "b128": {"batch": 128},
+    "b256": {"batch": 256},
+    "b128_bf16_pure": {"batch": 128, "params_dtype": jnp.bfloat16},
 }
 
 
