@@ -295,6 +295,9 @@ def main():
     ap.add_argument("--noise", type=float, default=1.0)
     ap.add_argument("--check", action="store_true",
                     help="exit nonzero if parity bands fail")
+    ap.add_argument("--tag", default="",
+                    help="artifact-name suffix (variant runs don't "
+                         "overwrite the headline artifact)")
     args = ap.parse_args()
 
     import jax
@@ -345,7 +348,10 @@ def main():
 
     out["wall_s"] = round(time.time() - t0, 1)
     from benchmarks._artifacts import write_artifact
-    write_artifact(f"convergence_parity_{args.mode}", out)
+    name = f"convergence_parity_{args.mode}"
+    if args.tag:
+        name += f"_{args.tag}"
+    write_artifact(name, out)
     if failures:
         print("PARITY FAIL:", failures)
         if args.check:
