@@ -240,10 +240,17 @@ def main():
     ap.add_argument("--size", type=int, default=224)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--pool-grad", default="exact",
+                    choices=["exact", "index", "all_ties"],
+                    help="max_pool gradient mode (train mode only)")
+    ap.add_argument("--tag", default="",
+                    help="artifact-name suffix for variant runs")
     args = ap.parse_args()
 
     enable_compilation_cache()
     print(f"device: {jax.devices()[0]}", flush=True)
+    from bnn_tpu import functional as Fn
+    Fn.set_pool_grad_mode(args.pool_grad)
     fn, x, carry = make_forward(args.mode, args.batch, args.size)
     log_dir = tempfile.mkdtemp(prefix=f"bnn_prof_{args.mode}_")
     run_traced(fn, x, carry, args.iters, log_dir)
@@ -257,9 +264,10 @@ def main():
     print("\nby category:", json.dumps(
         dict(sorted(cats.items(), key=lambda kv: -kv[1]))))
 
-    write_artifact(f"profile_{args.mode}_b{args.batch}", {
+    write_artifact(f"profile_{args.mode}_b{args.batch}{args.tag}", {
         "config": {"mode": args.mode, "batch": args.batch,
-                   "image_size": args.size, "iters": args.iters},
+                   "image_size": args.size, "iters": args.iters,
+                   "pool_grad": args.pool_grad},
         "device_us_per_iter": total,
         "by_category_us": cats,
         "ops": rows[:args.top],

@@ -13,6 +13,12 @@ full binary-ResNet-18 fwd+bwd+opt step and written to
 - pool_all_ties : + all-ties max_pool gradient (skips XLA's 883us
                   select_and_scatter; opt-in semantics — see
                   bnn_tpu/functional.py set_pool_grad_mode)
+- pool_index    : + index-gather max_pool gradient (same first-argmax
+                  routing as 'exact', bitwise: int8 argmax map +
+                  dilated-pad assembly, no select_and_scatter). Measured
+                  LOSS on v5e (23.4 vs 12.9 ms/step — XLA does not fuse
+                  interior-dilated pads); kept for its stricter torch
+                  parity on window-uncovered tails (see functional.py)
 - donate        : + buffer donation of the train state
 - b128          : base at batch 128 (per-image amortization)
 
@@ -132,6 +138,8 @@ VARIANTS = {
     "bf16_pure": {"params_dtype": jnp.bfloat16},
     "sgd": {"optimizer": "sgd"},
     "pool_all_ties": {"pool_grad": "all_ties"},
+    "pool_index": {"pool_grad": "index"},
+    "b128_pool_index": {"batch": 128, "pool_grad": "index"},
     "donate": {"donate": True},
     "b128": {"batch": 128},
     "b256": {"batch": 256},

@@ -110,20 +110,34 @@ def _pool_padding(nd: int, window, strides, spatial, padding: Size, ceil_mode: b
 
 # Gradient routing through max_pool ties. 'exact' = XLA select_and_scatter
 # (first-argmax, torch-identical — the default and the parity oracle).
+# 'index' = the SAME first-argmax routing, computed without
+# select_and_scatter: the backward derives an int8 per-window argmax map
+# (reverse-order strided compares) and assembles the input gradient from
+# interior-dilated lax.pad placements of each slot's claimed cotangent.
+# Two reasons it exists despite measuring SLOWER in-context on v5e (23.4
+# vs 12.9 ms/step at B=64 — XLA materializes each dilated pad as a full
+# input-sized array instead of fusing them; an earlier phase-interleave
+# formulation lost on relayout copies, 16.3 ms — see
+# benchmarks/artifacts/profile_train_b64_poolindex.json):
+# (a) it is MORE torch-accurate than 'exact': when (H + 2p - k) % s != 0
+#     leaves trailing input rows uncovered by any window, JAX's
+#     reduce_window transpose scatters gradient into them while torch
+#     (and this mode) gives them exactly zero
+#     (tests/test_ops.py::test_index_mode_beats_exact_on_uncovered_tail);
+# (b) its residual is analysis groundwork for a Pallas pool-backward
+#     kernel (the remaining 883us select_and_scatter sink).
 # 'all_ties' = every tied maximum receives the full window gradient: a
-# cheaper, symmetric backward built from strided slices + scatter-adds that
-# avoids select_and_scatter (883us of the B=64 QAT step on v5e,
-# benchmarks/artifacts/profile_train_b64.json). Differs from torch ONLY
-# when a window holds exact duplicates of its max — common post-ReLU, so
-# this is an opt-in speed knob (benchmarks/train_sweep.py measures it),
-# never a silent default.
+# symmetric backward built from strided slices + scatter-adds. Differs
+# from torch ONLY when a window holds exact duplicates of its max —
+# common post-ReLU, so this is an opt-in semantics knob
+# (benchmarks/train_sweep.py measures it), never a silent default.
 _POOL_GRAD_MODE = "exact"
 
 
 def set_pool_grad_mode(mode: str) -> str:
     """Set max_pool's gradient tie routing; returns the previous mode."""
     global _POOL_GRAD_MODE
-    assert mode in ("exact", "all_ties"), mode
+    assert mode in ("exact", "index", "all_ties"), mode
     prev, _POOL_GRAD_MODE = _POOL_GRAD_MODE, mode
     return prev
 
@@ -169,6 +183,70 @@ def _mp_at_bwd(window, strides, pad, res, g):
 _max_pool_all_ties.defvjp(_mp_at_fwd, _mp_at_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _max_pool_index(x, window, strides, pad, xshape):
+    neg_inf = -jnp.inf
+    return lax.reduce_window(x, neg_inf, lax.max, window, strides, pad)
+
+
+def _window_slices(xp, window, strides, out_shape):
+    """Strided slices of the padded input, one per window slot, each shaped
+    like the pool output (scan order: row-major over the window)."""
+    _, kh, kw, _ = window
+    _, sh, sw, _ = strides
+    N, oH, oW, C = out_shape
+    for ki in range(kh):
+        for kj in range(kw):
+            yield ki * kw + kj, lax.slice(
+                xp,
+                (0, ki, kj, 0),
+                (N, ki + (oH - 1) * sh + 1, kj + (oW - 1) * sw + 1, C),
+                (1, sh, sw, 1),
+            )
+
+
+def _mp_idx_fwd(x, window, strides, pad, xshape):
+    out = _max_pool_index(x, window, strides, pad, xshape)
+    return out, (x, out)
+
+
+def _mp_idx_bwd(window, strides, pad, xshape, res, g):
+    x, out = res
+    _, kh, kw, _ = window
+    _, sh, sw, _ = strides
+    (_, _), (ph_lo, _), (pw_lo, _), (_, _) = pad
+    N, oH, oW, C = out.shape
+    _, H, W, _ = xshape
+    # first-tie argmax map: scan window slots in REVERSE so the earliest
+    # match survives — identical routing to select_and_scatter. One small
+    # (out-shaped, int8) intermediate; XLA fuses the compares into a
+    # single pass over the window slices.
+    xp = jnp.pad(x, pad, constant_values=-jnp.inf)
+    idx = jnp.zeros(out.shape, jnp.int8)
+    for kpos, xs in sorted(
+            _window_slices(xp, window, strides, out.shape), reverse=True):
+        idx = jnp.where(xs == out, jnp.int8(kpos), idx)
+    # scatter-free assembly: each window slot's claimed gradient is an
+    # out-shaped plane placed on the input grid by an interior-dilated
+    # lax.pad (the conv-gradient idiom XLA fuses into one output pass);
+    # negative edge pads crop the contributions that landed in padding
+    acc = None
+    for kpos in range(kh * kw):
+        ki, kj = divmod(kpos, kw)
+        term = jnp.where(idx == jnp.int8(kpos), g, 0)
+        lo_i, lo_j = ki - ph_lo, kj - pw_lo
+        hi_i = H - ((oH - 1) * sh + ki - ph_lo) - 1
+        hi_j = W - ((oW - 1) * sw + kj - pw_lo) - 1
+        placed = lax.pad(term, jnp.zeros((), g.dtype), [
+            (0, 0, 0), (lo_i, hi_i, sh - 1), (lo_j, hi_j, sw - 1), (0, 0, 0),
+        ])
+        acc = placed if acc is None else acc + placed
+    return (acc,)
+
+
+_max_pool_index.defvjp(_mp_idx_fwd, _mp_idx_bwd)
+
+
 def max_pool(x: jax.Array, kernel_size: Size, stride: Size = None, padding: Size = 0,
              ceil_mode: bool = False) -> jax.Array:
     """Max pooling over channels-last input (torch ``nn.MaxPool1d/2d`` semantics)."""
@@ -177,6 +255,9 @@ def max_pool(x: jax.Array, kernel_size: Size, stride: Size = None, padding: Size
     if (_POOL_GRAD_MODE == "all_ties" and x.ndim == 4
             and jnp.issubdtype(x.dtype, jnp.floating)):
         return _max_pool_all_ties(x, window, strides, tuple(pad))
+    if (_POOL_GRAD_MODE == "index" and x.ndim == 4
+            and jnp.issubdtype(x.dtype, jnp.floating)):
+        return _max_pool_index(x, window, strides, tuple(pad), x.shape)
     neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(x, neg_inf, lax.max, window, strides, pad)
 

@@ -270,3 +270,72 @@ class TestPoolGradModes:
         import bnn_tpu.functional as F
 
         assert F._POOL_GRAD_MODE == "exact"
+
+    def test_index_mode_bitwise_matches_exact(self):
+        """'index' (int8 argmax map + gather backward) reproduces the
+        select_and_scatter routing bit-for-bit, ties included."""
+        import bnn_tpu.functional as F
+
+        rng = np.random.default_rng(0)
+        for shape, k, s, p, cm in [
+            ((2, 16, 16, 4), 3, 2, 1, False),     # the ResNet stem geometry
+            ((1, 10, 10, 3), 2, 2, 0, False),     # tiling, no pad
+            ((1, 11, 9, 3), 3, 1, 1, False),      # stride 1 (dense overlap)
+            ((1, 14, 14, 2), 2, 3, 0, False),     # stride > kernel (gaps)
+            ((1, 11, 11, 2), 3, 2, 1, True),      # ceil_mode extension
+            ((1, 8, 8, 2), (3, 2), (2, 3), (1, 0), False),  # asymmetric
+        ]:
+            # quantize so duplicate maxima (ties) are common
+            x = jnp.asarray(
+                np.round(rng.standard_normal(shape) * 4) / 4, jnp.float32)
+
+            def grad(mode):
+                prev = F.set_pool_grad_mode(mode)
+                try:
+                    def loss(v):
+                        o = F.max_pool(v, k, s, p, ceil_mode=cm)
+                        w = jnp.arange(o.size, dtype=jnp.float32)
+                        return (o * w.reshape(o.shape)).sum()
+                    return (F.max_pool(x, k, s, p, ceil_mode=cm),
+                            jax.grad(loss)(x))
+                finally:
+                    F.set_pool_grad_mode(prev)
+
+            (o1, g1), (o2, g2) = grad("exact"), grad("index")
+            assert jnp.array_equal(o1, o2), (shape, k, s, p, cm)
+            assert jnp.array_equal(g1, g2), (shape, k, s, p, cm)
+
+    def test_index_mode_beats_exact_on_uncovered_tail(self):
+        """When (H + 2p - k) % s != 0 leaves trailing REAL input rows
+        uncovered by any window (H=9, k=3, s=3, p=1 leaves row/col 8
+        uncovered), torch gives those rows zero gradient. JAX's
+        reduce_window transpose (select_and_scatter path — our 'exact'
+        mode) incorrectly scatters gradient into them; the 'index'
+        backward gathers only from real covering windows and matches
+        torch. Oracle: torch.nn.functional.max_pool2d backward."""
+        import bnn_tpu.functional as F
+
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(0)
+        x_np = np.round(rng.standard_normal((2, 9, 9, 2)) * 4) / 4
+        xt = torch.tensor(x_np.transpose(0, 3, 1, 2), dtype=torch.float32,
+                          requires_grad=True)
+        ot = torch.nn.functional.max_pool2d(xt, 3, 3, 1)
+        w = torch.arange(ot.numel(), dtype=torch.float32)
+        (ot * w.reshape(2, 3, 3, 2).permute(0, 3, 1, 2)).sum().backward()
+        gt = xt.grad.numpy().transpose(0, 2, 3, 1)
+
+        x = jnp.asarray(x_np, jnp.float32)
+        prev = F.set_pool_grad_mode("index")
+        try:
+            def loss(v):
+                o = F.max_pool(v, 3, 3, 1)
+                wts = jnp.arange(o.size, dtype=jnp.float32)
+                return (o * wts.reshape(o.shape)).sum()
+            gx = jax.grad(loss)(x)
+        finally:
+            F.set_pool_grad_mode(prev)
+        np.testing.assert_array_equal(np.asarray(gx), gt)
+        # the uncovered tail must be exactly zero
+        assert np.abs(np.asarray(gx)[:, 8, :, :]).sum() == 0.0
+        assert np.abs(np.asarray(gx)[:, :, 8, :]).sum() == 0.0
