@@ -199,6 +199,9 @@ def train_ours(model, data, *, epochs: int, batch: int, lr: float = 1e-3,
             "plateau": float(np.mean(accs[-3:])), "curve": accs}
 
 
+_EVAL_FWD = None  # jitted once; a per-call closure would recompile per epoch
+
+
 def eval_ours(model, x_te, y_te, batch: int = 100) -> float:
     import jax.numpy as jnp
     from flax import nnx
@@ -206,9 +209,12 @@ def eval_ours(model, x_te, y_te, batch: int = 100) -> float:
     model.eval()
     g, s = nnx.split(model)
 
-    @nnx.jit
-    def fwd(g_, s_, x):
-        return nnx.merge(g_, s_)(x).argmax(-1)
+    global _EVAL_FWD
+    if _EVAL_FWD is None:
+        @nnx.jit
+        def _EVAL_FWD(g_, s_, x):
+            return nnx.merge(g_, s_)(x).argmax(-1)
+    fwd = _EVAL_FWD
 
     correct = 0
     for i in range(0, len(x_te), batch):
@@ -232,7 +238,7 @@ def run_config_pair(config: str, data, *, epochs: int, batch: int,
     ref = train_ref(ref_m, data, epochs=epochs, batch=batch, log=log)
     log(f"[{config}] training bnn_tpu ({epochs} epochs)...")
     ours = train_ours(our_m, data, epochs=epochs, batch=batch, log=log)
-    return {"config": config, "ref": ref, "ours": ours,
+    return {"config": config, "epochs": epochs, "ref": ref, "ours": ours,
             "plateau_gap_pt": abs(ref["plateau"] - ours["plateau"])}
 
 
@@ -275,7 +281,8 @@ def run_recipe_pair(data, *, epochs_per_step: int, batch: int,
         log(f"[recipe step {i}] training bnn_tpu...")
         ours = train_ours(our_m, data, epochs=epochs_per_step, batch=batch,
                           log=log)
-        results["steps"].append({"step": i, "ref": ref, "ours": ours})
+        results["steps"].append({"step": i, "epochs": epochs_per_step,
+                                 "ref": ref, "ours": ours})
     last = results["steps"][-1]
     results["plateau_gap_pt"] = abs(
         last["ref"]["plateau"] - last["ours"]["plateau"])
@@ -310,8 +317,11 @@ def main():
            "dataset": {"n_train": args.n_train, "n_test": args.n_test,
                        "size": args.size, "noise": args.noise,
                        "classes": 10, "max_shift": 3},
+           # per-run epoch counts live in each run's own "epochs" field
+           # (fp32 twins train --fp32-epochs, not --epochs)
            "train": {"batch": args.batch, "lr": 1e-3, "opt": "adam",
-                     "epochs": args.epochs}}
+                     "epochs": args.epochs,
+                     "fp32_epochs": args.fp32_epochs}}
     failures = []
     if args.mode == "pair":
         fp32 = run_config_pair("fp32", data, epochs=args.fp32_epochs,

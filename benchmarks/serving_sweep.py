@@ -133,10 +133,23 @@ def main():
                      "us_per_img": round(t / b * 1e6, 2),
                      "img_per_s": round(b / t, 1)})
 
-    tag = args.arch + ("_pre" if args.pre else "") + (
-        f"_{args.stem}" if args.stem != "basic" else "")
+    # The tag must encode EVERYTHING that changes the numbers: a variant
+    # run (e.g. --size 64, or a batch subset) writing over the headline
+    # artifact would re-publish wrong zoo-table rows on the next
+    # gen_tables.py --write — the exact failure the artifact pipeline
+    # exists to prevent. BATS ignores --pre/--stem (no resnet stem), so
+    # those flags are normalized out of its tag and config.
+    is_bats = args.arch == "bats_cifar"
+    pre, stem = (False, "basic") if is_bats else (args.pre, args.stem)
+    tag = args.arch + ("_pre" if pre else "") + (
+        f"_{stem}" if stem != "basic" else "")
+    default_size = 32 if is_bats else 224
+    if size != default_size:
+        tag += f"_s{size}"
+    if sorted(args.batches) != [1, 2, 4, 8, 16, 32, 64]:
+        tag += "_b" + "-".join(str(b) for b in args.batches)
     write_artifact(f"serving_sweep_{tag}", {
-        "config": {"arch": args.arch, "pre": args.pre, "stem": args.stem,
+        "config": {"arch": args.arch, "pre": pre, "stem": stem,
                    "image_size": size, "sign": "ternary (torch-parity)",
                    "weight_format": "int8", "float_dtype": "bfloat16",
                    "fusion": fusion_notes},

@@ -171,7 +171,12 @@ def main():
             if "ms_per_step" in r:
                 r["vs_base"] = round(base["ms_per_step"] / r["ms_per_step"],
                                      3)
-    write_artifact("train_sweep", {
+    # subset runs must not clobber the headline artifact gen_tables.py
+    # publishes from (same rule as serving_sweep.py)
+    name = "train_sweep"
+    if list(args.variants) != list(VARIANTS):
+        name += "_" + "-".join(args.variants)[:80]
+    write_artifact(name, {
         "config": {"model": "binary_resnet18", "image_size": 224,
                    "protocol": "device fori-loop chained steps"},
         "rows": rows,

@@ -135,7 +135,16 @@ _POOL_GRAD_MODE = "exact"
 
 
 def set_pool_grad_mode(mode: str) -> str:
-    """Set max_pool's gradient tie routing; returns the previous mode."""
+    """Set max_pool's gradient tie routing; returns the previous mode.
+
+    TRACE-TIME knob: the mode is read when ``max_pool`` is traced, so it
+    must be set BEFORE ``jit``/``grad`` tracing. Already-compiled
+    functions keep whatever mode they were traced with (jit caches are
+    keyed on shapes/dtypes, not on this global) — re-jit (or call with
+    new shapes) after switching to actually change routing. Non-default
+    modes apply to 2-D floating max_pool only; 1-D (``NLC``) pooling
+    always uses the 'exact' select_and_scatter gradient.
+    """
     global _POOL_GRAD_MODE
     assert mode in ("exact", "index", "all_ties"), mode
     prev, _POOL_GRAD_MODE = _POOL_GRAD_MODE, mode
@@ -183,8 +192,8 @@ def _mp_at_bwd(window, strides, pad, res, g):
 _max_pool_all_ties.defvjp(_mp_at_fwd, _mp_at_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def _max_pool_index(x, window, strides, pad, xshape):
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _max_pool_index(x, window, strides, pad):
     neg_inf = -jnp.inf
     return lax.reduce_window(x, neg_inf, lax.max, window, strides, pad)
 
@@ -205,18 +214,18 @@ def _window_slices(xp, window, strides, out_shape):
             )
 
 
-def _mp_idx_fwd(x, window, strides, pad, xshape):
-    out = _max_pool_index(x, window, strides, pad, xshape)
+def _mp_idx_fwd(x, window, strides, pad):
+    out = _max_pool_index(x, window, strides, pad)
     return out, (x, out)
 
 
-def _mp_idx_bwd(window, strides, pad, xshape, res, g):
+def _mp_idx_bwd(window, strides, pad, res, g):
     x, out = res
     _, kh, kw, _ = window
     _, sh, sw, _ = strides
     (_, _), (ph_lo, _), (pw_lo, _), (_, _) = pad
     N, oH, oW, C = out.shape
-    _, H, W, _ = xshape
+    _, H, W, _ = x.shape
     # first-tie argmax map: scan window slots in REVERSE so the earliest
     # match survives — identical routing to select_and_scatter. One small
     # (out-shaped, int8) intermediate; XLA fuses the compares into a
@@ -257,7 +266,7 @@ def max_pool(x: jax.Array, kernel_size: Size, stride: Size = None, padding: Size
         return _max_pool_all_ties(x, window, strides, tuple(pad))
     if (_POOL_GRAD_MODE == "index" and x.ndim == 4
             and jnp.issubdtype(x.dtype, jnp.floating)):
-        return _max_pool_index(x, window, strides, tuple(pad), x.shape)
+        return _max_pool_index(x, window, strides, tuple(pad))
     neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(x, neg_inf, lax.max, window, strides, pad)
 

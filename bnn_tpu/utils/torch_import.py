@@ -92,10 +92,22 @@ def _rebuild_tensor(storage: _StorageRef, storage_offset, size, stride, *args):
         raise pickle.UnpicklingError(
             f"tensor rebuild got {type(storage).__name__}, not a storage")
     flat = storage.asarray()
+    def _as_int(v):
+        # int() would silently TRUNCATE a crafted float (int(2.9) == 2)
+        # where torch rejects the checkpoint — require exact integers
+        if isinstance(v, bool):
+            raise pickle.UnpicklingError("bool tensor geometry value")
+        if isinstance(v, (int, np.integer)):
+            return int(v)
+        if isinstance(v, float) and v.is_integer():
+            return int(v)
+        raise pickle.UnpicklingError(
+            f"non-integral tensor geometry value: {v!r}")
+
     try:
-        storage_offset = int(storage_offset)
-        size = tuple(int(s) for s in size)
-        stride = tuple(int(s) for s in stride)
+        storage_offset = _as_int(storage_offset)
+        size = tuple(_as_int(s) for s in size)
+        stride = tuple(_as_int(s) for s in stride)
     except (TypeError, ValueError) as e:
         raise pickle.UnpicklingError(
             f"non-integer tensor geometry: {e}") from None

@@ -284,6 +284,10 @@ def test_crafted_valid_checkpoint_loads(tmp_path):
     (2, (4,), (1,)),             # offset+size past end
     ("x", (2,), (1,)),           # non-integer offset
     (0, (2,), ("y",)),           # non-integer stride
+    (2.9, (2,), (1,)),           # truncating float offset (int(2.9)==2)
+    (0, (2.5,), (1,)),           # truncating float size
+    (0, (2,), (1.5,)),           # truncating float stride
+    (True, (2,), (1,)),          # bool offset
 ])
 def test_hostile_tensor_geometry(tmp_path, offset, size, stride):
     t = _CraftedTensor(_StorageToken(), offset, size, stride)
