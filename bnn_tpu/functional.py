@@ -185,7 +185,9 @@ def _mp_at_bwd(window, strides, pad, res, g):
             xs = x[:, i0:i1:sh, j0:j1:sw, :]
             os_ = out[:, wi0:wi1, wj0:wj1, :]
             c = jnp.where(xs == os_, g[:, wi0:wi1, wj0:wj1, :], 0)
-            grad = grad.at[:, i0:i1:sh, j0:j1:sw, :].add(c)
+            # future JAX errors on implicit down-cast scatter values
+            grad = grad.at[:, i0:i1:sh, j0:j1:sw, :].add(
+                c.astype(grad.dtype))
     return (grad,)
 
 
