@@ -204,6 +204,20 @@ def main():
     log(f"training: QAT {t_train*1e3:.2f} ms/step "
         f"({batch/t_train:.0f} img/s), float twin {t_plain*1e3:.2f} ms/step "
         f"(+{(t_train/t_plain-1)*100:.0f}% binarization overhead)")
+    # tuned arm: the per-chip training sweet spot (the B=64 step is
+    # batch-starved at 112^2 — ROADMAP train-sweep table); B=64 base
+    # stays the headline for cross-round comparability
+    try:
+        from benchmarks.train_sweep import measure as sweep_measure
+        tuned = sweep_measure("tuned", batch=128,
+                              params_dtype=jnp.bfloat16, long=8)
+        training["tuned"] = {
+            "qat_ms_per_step": tuned["ms_per_step"],
+            "qat_img_per_s": tuned["img_per_s"],
+            "config": "B=128 %d^2 pure-bf16 params, adam" % size,
+        }
+    except Exception as e:  # never fail the bench over the extra arm
+        log(f"tuned training arm skipped: {type(e).__name__}: {e}")
 
     imgs_per_s = batch / t_i8
     print(json.dumps({

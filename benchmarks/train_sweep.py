@@ -58,7 +58,7 @@ def build(*, dtype=None):
             ignore_layers_name=["_first_", "_last_"])
         m.train()
         if dtype is not None:
-            cast_floats(m, dtype)
+            cast_floats(m, dtype, keep_batch_stats=True)
     nnx.update(m, jax.device_put(nnx.state(m), dev))
     return m
 

@@ -139,6 +139,42 @@ class TestCheckpoint:
                                       net[0].kernel[...])
 
 
+class TestCastFloats:
+    def test_keep_batch_stats_leaves_running_stats_f32(self):
+        """Pure-bf16 TRAINING casts must keep BN running stats f32: flax
+        computes batch statistics in f32 and assigns them into the stat
+        variables — with bf16 stats that is an unsafe f32->bf16 scatter
+        cast (a future-JAX error, warned today). keep_batch_stats=True
+        narrows params only."""
+        import warnings
+
+        from bnn_tpu.utils import cast_floats
+
+        net = make_net()
+        cast_floats(net, jnp.bfloat16, keep_batch_stats=True)
+        stats = jax.tree.leaves(nnx.state(net, nnx.BatchStat))
+        params = jax.tree.leaves(nnx.state(net, nnx.Param))
+        assert {v.dtype for v in stats} == {jnp.dtype(jnp.float32)}
+        assert {v.dtype for v in params
+                if jnp.issubdtype(v.dtype, jnp.floating)} == {
+                    jnp.dtype(jnp.bfloat16)}
+        # train-mode forward must not hit the unsafe-scatter warning
+        net.train()
+        x = jnp.zeros((2, 8, 8, 3), jnp.bfloat16)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", FutureWarning)
+            net(x)
+
+    def test_default_cast_narrows_everything(self):
+        from bnn_tpu.utils import cast_floats
+
+        net = make_net()
+        cast_floats(net, jnp.bfloat16)
+        leaves = [v for v in jax.tree.leaves(nnx.state(net))
+                  if jnp.issubdtype(v.dtype, jnp.floating)]
+        assert {v.dtype for v in leaves} == {jnp.dtype(jnp.bfloat16)}
+
+
 class TestOpCounter:
     def test_float_model_all_flops(self):
         net = make_net()
