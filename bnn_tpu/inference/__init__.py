@@ -1,4 +1,5 @@
 from .serving import Predictor
+from .batching import BatcherStats, ContinuousBatcher
 from .megablock import FusedBlock, default_fuse_predicate, fuse_blocks
 from .optimize import fold_bn_after, fold_bn_before, optimize_deployed
 from .compress import (
@@ -33,6 +34,8 @@ __all__ = [
     "packed_tp_chain",
     "ici_bytes_per_layer",
     "Predictor",
+    "ContinuousBatcher",
+    "BatcherStats",
     "ExportedServer",
     "export_serving",
     "load_serving",

@@ -85,6 +85,13 @@ def main():
                     help="batch-shard requests over N chips")
     ap.add_argument("--tensor-parallel", type=int, default=1,
                     help="shard packed weights out-channel over N chips")
+    ap.add_argument("--continuous", action="store_true",
+                    help="serve a single-image request STREAM through the "
+                         "continuous batcher (coalesced into the compiled "
+                         "batch) instead of pre-batched requests")
+    ap.add_argument("--stream-rps", type=float, default=200.0,
+                    help="offered load for --continuous (requests/s, "
+                         "Poisson arrivals)")
     args = ap.parse_args()
 
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -136,8 +143,41 @@ def main():
     serve_loop(predictor, args)
 
 
+def serve_stream(predictor, args, shape):
+    """Continuous batching demo: a Poisson stream of SINGLE-image
+    requests coalesced into the compiled batch (the north-star
+    "continuous batching of image streams" serving shape —
+    bnn_tpu/inference/batching.py)."""
+    from bnn_tpu.inference import ContinuousBatcher
+
+    rng = np.random.default_rng(0)
+    n = max(args.requests, 1) * args.batch_size  # comparable volume
+    # warm the compiled program outside the measured stream
+    jax.block_until_ready(predictor(np.zeros((1, *shape), np.float32)))
+    t0 = time.time()
+    with ContinuousBatcher(predictor, max_delay_ms=5.0) as srv:
+        futs = []
+        for _ in range(n):
+            futs.append(srv.submit(
+                rng.standard_normal((1, *shape), np.float32)))
+            time.sleep(float(rng.exponential(1.0 / args.stream_rps)))
+        for f in futs:
+            f.result(timeout=300)
+        st = srv.stats()
+    wall = time.time() - t0
+    print(f"stream: {st.requests} requests ({st.rows} images) in "
+          f"{wall:.2f}s = {st.rows / wall:.0f} img/s at "
+          f"{args.stream_rps:.0f} rps offered; {st.batches} compiled "
+          f"calls, occupancy {st.mean_occupancy * 100:.0f}%, latency "
+          f"p50 {st.latency_percentile(50):.1f} ms / "
+          f"p99 {st.latency_percentile(99):.1f} ms")
+
+
 def serve_loop(predictor, args, shape=None):
     shape = tuple(shape) if shape is not None else (args.size, args.size, 3)
+    if args.continuous:
+        serve_stream(predictor, args, shape)
+        return
     rng = np.random.default_rng(0)
     for i in range(args.requests):
         n = int(rng.integers(1, args.batch_size + 1))  # ragged request sizes

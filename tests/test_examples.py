@@ -86,6 +86,19 @@ def test_serve_example(monkeypatch, capsys):
     assert "request 1:" in out
 
 
+def test_serve_example_continuous(monkeypatch, capsys):
+    """--continuous coalesces a single-image request stream into the
+    compiled batch (inference/batching.py) and reports occupancy +
+    latency percentiles."""
+    import examples  # noqa: F401
+    _run("examples/serve.py",
+         ["--num-classes", "10", "--size", "32", "--batch-size", "4",
+          "--requests", "2", "--continuous", "--stream-rps", "2000"],
+         monkeypatch)
+    out = capsys.readouterr().out
+    assert "stream:" in out and "occupancy" in out and "p99" in out
+
+
 @pytest.mark.slow
 def test_imagenet_resume_restores_optimizer(tmp_path, monkeypatch, capsys):
     """Train 1 epoch, then resume: the trainer must restore the optimizer
