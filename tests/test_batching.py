@@ -90,6 +90,26 @@ class TestAgainstPredictor:
         assert out.shape == (4,)
 
 
+class TestOverExportedBundle:
+    def test_batcher_serves_a_loaded_bundle(self, tmp_path):
+        """The coalescer composes with an exported serving bundle: the
+        loaded server exposes batch_size, so requests stream through the
+        frozen StableHLO program with no model code."""
+        from bnn_tpu.inference import load_serving
+
+        pred = make_predictor(batch_size=4)
+        pred.export(str(tmp_path / "bundle"), input_shape=(8, 8, 3))
+        server = load_serving(str(tmp_path / "bundle"))
+        rng = np.random.RandomState(2)
+        reqs = [rng.randn(n, 8, 8, 3).astype(np.float32) for n in (1, 2, 1)]
+        with ContinuousBatcher(server, max_delay_ms=20.0) as srv:
+            outs = [f.result(timeout=120)
+                    for f in [srv.submit(r) for r in reqs]]
+        for r, o in zip(reqs, outs):
+            np.testing.assert_allclose(
+                o, np.asarray(pred(r)), rtol=0, atol=1e-5)
+
+
 class _CountingModel:
     """Callable predictor stub recording the batch shapes it sees."""
 
