@@ -90,6 +90,46 @@ class TestAgainstPredictor:
         assert out.shape == (4,)
 
 
+class TestOverMeshPredictor:
+    def test_batcher_over_dp_mesh_predictor(self):
+        """The coalesced batch is mesh-sharded by the predictor itself:
+        a data-parallel Predictor on the virtual mesh serves the stream
+        with identical results to its own direct calls (the "across
+        chips/hosts" composition — one batcher per host process)."""
+        import jax
+
+        from bnn_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 2:
+            import pytest as _pytest
+            _pytest.skip("needs the virtual multi-device mesh")
+        rngs = nnx.Rngs(0)
+        net = nn.Sequential(
+            nn.Conv2d(3, 8, 3, padding=1, rngs=rngs),
+            nn.ReLU(),
+            nn.AdaptiveAvgPool2d(1),
+            nn.Flatten(),
+            nn.Linear(8, 4, rngs=rngs),
+        )
+        net = prepare_binary_model(net, bconfig=BC,
+                                   ignore_layers_name=["_first_", "_last_"])
+        net.eval()
+        pred = Predictor(net, batch_size=8,
+                         mesh=make_mesh(data=2,
+                                        devices=jax.devices()[:2]),
+                         use_pallas=False, fuse=False,
+                         space_to_depth=False, dtype=None)
+        rng = np.random.RandomState(3)
+        reqs = [rng.randn(n, 8, 8, 3).astype(np.float32)
+                for n in (1, 3, 2, 1, 1)]
+        with ContinuousBatcher(pred, max_delay_ms=20.0) as srv:
+            outs = [f.result(timeout=120)
+                    for f in [srv.submit(r) for r in reqs]]
+        for r, o in zip(reqs, outs):
+            np.testing.assert_allclose(
+                o, np.asarray(pred(r)), rtol=0, atol=1e-5)
+
+
 class TestOverExportedBundle:
     def test_batcher_serves_a_loaded_bundle(self, tmp_path):
         """The coalescer composes with an exported serving bundle: the
