@@ -209,12 +209,13 @@ def main():
     # stays the headline for cross-round comparability
     try:
         from benchmarks.train_sweep import measure as sweep_measure
-        tuned = sweep_measure("tuned", batch=128,
+        tuned = sweep_measure("tuned", batch=2 * batch, size=size,
                               params_dtype=jnp.bfloat16, long=8)
         training["tuned"] = {
             "qat_ms_per_step": tuned["ms_per_step"],
             "qat_img_per_s": tuned["img_per_s"],
-            "config": "B=128 %d^2 pure-bf16 params, adam" % size,
+            "config": "B=%d %d^2 pure-bf16 params, adam"
+                      % (2 * batch, size),
         }
     except Exception as e:  # never fail the bench over the extra arm
         log(f"tuned training arm skipped: {type(e).__name__}: {e}")

@@ -39,6 +39,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Any, Callable, List, Optional
@@ -56,14 +57,23 @@ class _Request:
     t_enqueue: float
 
 
+LATENCY_WINDOW = 65536  # most-recent requests kept for percentiles
+
+
 @dataclass
 class BatcherStats:
-    """Cumulative serving statistics (see :meth:`ContinuousBatcher.stats`)."""
+    """Cumulative serving statistics (see :meth:`ContinuousBatcher.stats`).
+
+    Counters are cumulative; ``latencies_ms`` is a sliding window of the
+    most recent ``LATENCY_WINDOW`` request latencies (a long-lived server
+    would otherwise grow the list without bound — percentiles are about
+    current behavior anyway)."""
     requests: int = 0
     rows: int = 0
     batches: int = 0
     max_batch_rows: int = 0
-    latencies_ms: List[float] = field(default_factory=list)
+    latencies_ms: Any = field(
+        default_factory=lambda: deque(maxlen=LATENCY_WINDOW))
 
     @property
     def mean_occupancy(self) -> float:
@@ -76,7 +86,7 @@ class BatcherStats:
         """p-th percentile request latency (enqueue -> result), ms."""
         if not self.latencies_ms:
             return 0.0
-        return float(np.percentile(np.asarray(self.latencies_ms), p))
+        return float(np.percentile(np.asarray(list(self.latencies_ms)), p))
 
 
 class ContinuousBatcher:
@@ -114,6 +124,11 @@ class ContinuousBatcher:
         self._stats = BatcherStats(max_batch_rows=self.max_batch)
         self._stats_lock = threading.Lock()
         self._closed = False
+        # guards the closed-check + enqueue pair in submit() against a
+        # concurrent close(): without it a request can land BEHIND the
+        # shutdown sentinel and hang forever
+        self._submit_lock = threading.Lock()
+        self._feature_shape: Optional[tuple] = None
         self._thread = threading.Thread(
             target=self._dispatch_loop, name="bnn-batcher", daemon=True)
         self._thread.start()
@@ -123,20 +138,36 @@ class ContinuousBatcher:
     def submit(self, x) -> Future:
         """Enqueue one request; returns a Future resolving to its rows.
 
-        ``x`` may be a single example ``(*feature_dims)`` or a small batch
-        ``(n, *feature_dims)``; the future resolves to the matching
-        ``(*feature_dims,) -> (classes,)`` / ``(n, classes)`` shape.
-        Raises ``queue.Full`` when ``max_queue`` requests are already
+        ``x`` is a batch ``(n, *feature_dims)`` with an explicit leading
+        batch dim (use :meth:`predict_one` for bare single examples); the
+        future resolves to the matching ``(n, classes)`` rows. Raises
+        ``ValueError`` on a rank/feature-shape mismatch with earlier
+        requests (all riders of one stream must coalesce into one
+        array), ``queue.Full`` when ``max_queue`` requests are already
         waiting (backpressure — callers should shed or retry), and
         ``RuntimeError`` after :meth:`close`.
         """
-        if self._closed:
-            raise RuntimeError("ContinuousBatcher is closed")
         x = np.asarray(x)
+        if x.ndim < 1 or x.shape[0] < 1:
+            raise ValueError(
+                f"submit() needs (n, *feature_dims) with n >= 1, got "
+                f"shape {x.shape}; use predict_one() for bare examples")
         rows = x.shape[0]
         fut: Future = Future()
         req = _Request(x=x, rows=rows, future=fut, t_enqueue=time.monotonic())
-        self._queue.put_nowait(req)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("ContinuousBatcher is closed")
+            # reject mismatched feature shapes HERE, in the client
+            # thread — a bad np.concatenate in the dispatcher would
+            # otherwise take the whole server down
+            if self._feature_shape is None:
+                self._feature_shape = x.shape[1:]
+            elif x.shape[1:] != self._feature_shape:
+                raise ValueError(
+                    f"request feature shape {x.shape[1:]} != stream's "
+                    f"{self._feature_shape}")
+            self._queue.put_nowait(req)
         return fut
 
     def predict(self, x):
@@ -161,19 +192,23 @@ class ContinuousBatcher:
     def close(self, *, drain: bool = True) -> None:
         """Stop accepting requests; finish (``drain=True``) or fail
         (``drain=False``) whatever is queued; join the dispatcher."""
-        if self._closed:
-            return
-        self._closed = True
-        if not drain:
-            try:
-                while True:
-                    req = self._queue.get_nowait()
-                    if req is not None:
-                        req.future.set_exception(
-                            RuntimeError("ContinuousBatcher closed"))
-            except queue.Empty:
-                pass
-        self._queue.put(None)  # sentinel wakes + stops the dispatcher
+        with self._submit_lock:  # no submit can interleave past here
+            if self._closed:
+                return
+            self._closed = True
+            if not drain:
+                try:
+                    while True:
+                        req = self._queue.get_nowait()
+                        if req is not None:
+                            self._fail_future(req.future, RuntimeError(
+                                "ContinuousBatcher closed"))
+                except queue.Empty:
+                    pass
+            # sentinel wakes + stops the dispatcher; put() (blocking)
+            # is safe: submits are locked out, so at most the dispatcher
+            # is draining the queue, freeing a slot
+            self._queue.put(None)
         self._thread.join(timeout=60.0)
 
     def __enter__(self):
@@ -221,6 +256,13 @@ class ContinuousBatcher:
         assert getattr(self, "_held", None) is None
         self._held = req
 
+    @staticmethod
+    def _fail_future(fut: Future, exc: Exception) -> None:
+        try:
+            fut.set_exception(exc)
+        except Exception:  # already cancelled/resolved by the client
+            pass
+
     def _dispatch_loop(self) -> None:
         while True:
             held = getattr(self, "_held", None)
@@ -229,20 +271,28 @@ class ContinuousBatcher:
             batch = self._collect(held)
             if batch is None:
                 return
-            x = np.concatenate([r.x for r in batch], axis=0) \
-                if len(batch) > 1 else batch[0].x
+            # clients may have cancelled while waiting; a cancelled
+            # Future rejects set_result (InvalidStateError) — claim each
+            # rider first and drop the cancelled ones from the batch
+            batch = [r for r in batch
+                     if r.future.set_running_or_notify_cancel()]
+            if not batch:
+                continue
+            # EVERYTHING below is guarded: an escaped exception would
+            # kill the dispatcher thread and hang every future forever
             try:
-                y = self._predictor(x)
+                x = np.concatenate([r.x for r in batch], axis=0) \
+                    if len(batch) > 1 else batch[0].x
+                y = np.asarray(self._predictor(x))
+                now = time.monotonic()
+                off = 0
+                for r in batch:
+                    r.future.set_result(y[off:off + r.rows])
+                    off += r.rows
             except Exception as e:  # propagate to every rider, keep serving
                 for r in batch:
-                    r.future.set_exception(e)
+                    self._fail_future(r.future, e)
                 continue
-            y = np.asarray(y)
-            now = time.monotonic()
-            off = 0
-            for r in batch:
-                r.future.set_result(y[off:off + r.rows])
-                off += r.rows
             with self._stats_lock:
                 self._stats.requests += len(batch)
                 self._stats.rows += off

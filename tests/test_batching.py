@@ -219,6 +219,46 @@ class TestProtocol:
         with pytest.raises(ValueError):
             ContinuousBatcher(lambda x: x)
 
+    def test_mismatched_feature_shape_rejected_in_client(self):
+        """Shape mismatches must fail the SUBMITTING caller, not reach
+        the dispatcher (a bad np.concatenate there would take the whole
+        server down and hang every pending future)."""
+        m = _CountingModel(delay=0.05)
+        with ContinuousBatcher(m, max_batch=8, max_delay_ms=50.0) as srv:
+            ok = srv.submit(np.ones((2, 8, 8, 3)))
+            with pytest.raises(ValueError, match="feature shape"):
+                srv.submit(np.ones((1, 4, 4, 3)))
+            with pytest.raises(ValueError, match="predict_one"):
+                srv.submit(np.ones(()))  # scalar: no batch dim
+            assert ok.result(timeout=30).shape == (2,)
+            # the server is still alive for well-shaped requests
+            assert srv.submit(np.ones((1, 8, 8, 3))).result(
+                timeout=30).shape == (1,)
+
+    def test_cancelled_future_does_not_kill_dispatcher(self):
+        """A client that times out and cancels its Future must not crash
+        the dispatcher (set_result on a cancelled future raises
+        InvalidStateError) — co-riders and later requests still serve."""
+        m = _CountingModel(delay=0.2)
+        with ContinuousBatcher(m, max_batch=4, max_delay_ms=1.0) as srv:
+            doomed = srv.submit(np.ones((1, 2)))
+            time.sleep(0.02)  # let the dispatcher pick it up or not —
+            doomed.cancel()   # either way the cancel must be survivable
+            ok = srv.submit(np.ones((1, 2)))
+            np.testing.assert_array_equal(ok.result(timeout=30),
+                                          np.asarray([2.0]))
+
+    def test_latency_window_is_bounded(self):
+        from bnn_tpu.inference.batching import LATENCY_WINDOW
+
+        m = _CountingModel()
+        with ContinuousBatcher(m, max_batch=64, max_delay_ms=0.5) as srv:
+            for _ in range(50):
+                srv.submit(np.ones((1, 2))).result(timeout=30)
+            st = srv.stats()
+        assert len(st.latencies_ms) <= LATENCY_WINDOW
+        assert st.requests == 50
+
     def test_concurrent_submitters(self):
         """Many client threads, one dispatcher: results stay per-request
         correct (each future gets ITS rows back)."""
