@@ -144,6 +144,11 @@ VARIANTS = {
     "b128": {"batch": 128},
     "b256": {"batch": 256},
     "b128_bf16_pure": {"batch": 128, "params_dtype": jnp.bfloat16},
+    # the individually-winning levers combined (do they stack?)
+    "combo64": {"donate": True, "params_dtype": jnp.bfloat16,
+                "optimizer": "sgd"},
+    "b128_combo": {"batch": 128, "donate": True,
+                   "params_dtype": jnp.bfloat16, "optimizer": "sgd"},
 }
 
 
