@@ -101,7 +101,7 @@ class ContinuousBatcher:
     Usage::
 
         server = ContinuousBatcher(predictor, max_delay_ms=2.0)
-        fut = server.submit(image)          # non-blocking, returns Future
+        fut = server.submit(image[None])    # non-blocking, returns Future
         logits = fut.result()
         ...
         server.close()
