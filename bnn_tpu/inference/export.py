@@ -97,6 +97,26 @@ def _strip_padding(out, n: int, mesh):
     return out[:n]
 
 
+def batched_call(one_batch, x, batch_size: int, mesh=None):
+    """The serving-boundary pad/split/concat/strip discipline, shared by
+    ``Predictor.__call__`` and ``ExportedServer.__call__`` so the two can
+    never drift apart: pad ``x`` up to ``batch_size`` multiples, run
+    ``one_batch`` per fixed-shape chunk, concatenate, strip back to the
+    real row count (sharding-aware via :func:`_strip_padding`)."""
+    n, bs = x.shape[0], batch_size
+    if n == 0:
+        # fabricating an output shape for zero rows would mean running a
+        # padded batch for nothing — make the contract violation loud
+        raise ValueError("empty request batch (0 rows)")
+    padded_n = -(-n // bs) * bs
+    if padded_n != n:
+        pad = [(0, padded_n - n)] + [(0, 0)] * (x.ndim - 1)
+        x = jnp.pad(x, pad)
+    outs = [one_batch(x[i:i + bs]) for i in range(0, padded_n, bs)]
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    return _strip_padding(out, n, mesh)
+
+
 def _leaf_spec(leaf):
     """The PartitionSpec a live array is laid out with (P() if unsharded)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -240,19 +260,12 @@ class ExportedServer:
             raise ValueError(
                 f"input shape {x.shape[1:]} != exported signature "
                 f"{self.input_shape}")
-        n, bs = x.shape[0], self.batch_size
-        padded_n = -(-n // bs) * bs
-        if padded_n != n:
-            pad = [(0, padded_n - n)] + [(0, 0)] * (x.ndim - 1)
-            x = jnp.pad(x, pad)
         def _one(xb):
             if self._x_sharding is not None:
                 xb = jax.device_put(xb, self._x_sharding)
             return self._forward(self._leaves, xb)
 
-        outs = [_one(x[i:i + bs]) for i in range(0, padded_n, bs)]
-        out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-        return _strip_padding(out, n, self.mesh)
+        return batched_call(_one, x, self.batch_size, self.mesh)
 
     def state_bytes(self) -> int:
         return sum(l.size * l.dtype.itemsize for l in self._leaves)

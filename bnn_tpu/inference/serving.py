@@ -52,10 +52,19 @@ class Predictor:
             # GPU users get the exact XLA fallback from plain defaults
             use_pallas = jax.devices()[0].platform == "tpu"
         if tensor_parallel:
-            assert mesh is not None and mesh.shape[model_axis] > 1, (
-                "tensor_parallel needs a mesh with a >1 model axis")
+            if mesh is None or mesh.shape.get(model_axis, 1) <= 1:
+                raise ValueError(
+                    "tensor_parallel needs a mesh with a >1 model axis")
             # block megakernels reduce over conv1's FULL channels — they
-            # cannot consume a channel shard, so TP serving stays unfused
+            # cannot consume a channel shard, so TP serving stays unfused.
+            # An EXPLICIT fuse=True is a contradiction the caller should
+            # hear about (same policy as binary_gemm_impl below), not a
+            # silent override a benchmarker would misread as "fused TP".
+            if fuse is True:
+                raise ValueError(
+                    "tensor_parallel=True is incompatible with fuse=True: "
+                    "block megakernels reduce over full channels and "
+                    "cannot consume a channel shard")
             fuse = False
         if binary_gemm_impl != "mxu":
             # fusion would absorb most eligible layers into MXU megakernels,
@@ -63,11 +72,13 @@ class Predictor:
             # but the leftovers — honor the request by serving unfused
             # (popcount is the bandwidth/ICI capability form, not a speed
             # path on-chip; see benchmarks/popcount_mode.py)
-            assert fuse is not True, (
-                "binary_gemm_impl='%s' is incompatible with fuse=True: the "
-                "stage/block megakernels always execute on the MXU, so "
-                "fusion would override the requested GEMM implementation "
-                "for every absorbed layer" % binary_gemm_impl)
+            if fuse is True:
+                raise ValueError(
+                    "binary_gemm_impl='%s' is incompatible with fuse=True: "
+                    "the stage/block megakernels always execute on the MXU, "
+                    "so fusion would override the requested GEMM "
+                    "implementation for every absorbed layer"
+                    % binary_gemm_impl)
             fuse = False
         model.eval()
         model = deploy(model, weight_format=weight_format,
@@ -147,7 +158,10 @@ class Predictor:
             # batch shard)
             n_shard = mesh.shape.get(batch_axis, 1)
             batch_spec = P(batch_axis) if batch_axis in mesh.shape else P()
-            assert batch_size % n_shard == 0, (batch_size, n_shard)
+            if batch_size % n_shard != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide evenly over the "
+                    f"{n_shard}-way '{batch_axis}' mesh axis")
             if tensor_parallel:
                 # north-star topology: each chip holds an out-channel shard
                 # of every eligible layer's packed weights + epilogue; the
@@ -187,9 +201,12 @@ class Predictor:
         return nnx.merge(self._graphdef, self._state)
 
     def state_bytes(self) -> int:
-        """Total bytes of the serving state (weights, scales, norm stats).
-        With ``mesh=`` the state is replicated, so this is the per-replica
-        (== logical) size."""
+        """Total LOGICAL bytes of the serving state (weights, scales,
+        norm stats). With a data-parallel ``mesh=`` the state is
+        replicated, so this equals the per-chip size; with
+        ``tensor_parallel=True`` the tagged layers are sharded 1/P per
+        chip, so per-chip HBM is smaller than this number (by up to the
+        model-axis factor for the sharded leaves)."""
         from .compress import state_bytes as _sb
         return _sb(self.served_model())
 
@@ -211,16 +228,8 @@ class Predictor:
     def __call__(self, x) -> jax.Array:
         """Predict on ``(N, ...)`` input; N is padded up to ``batch_size``
         multiples so every call reuses the same compiled program."""
+        from .export import batched_call
+
         x = jnp.asarray(x, self.dtype)
-        n = x.shape[0]
-        bs = self.batch_size
-        padded_n = -(-n // bs) * bs
-        if padded_n != n:
-            pad = [(0, padded_n - n)] + [(0, 0)] * (x.ndim - 1)
-            x = jnp.pad(x, pad)
-        outs = []
-        for i in range(0, padded_n, bs):
-            outs.append(self._forward(self._state, x[i:i + bs]))
-        out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-        from .export import _strip_padding
-        return _strip_padding(out, n, self.mesh)
+        return batched_call(lambda xb: self._forward(self._state, xb),
+                            x, self.batch_size, self.mesh)

@@ -86,18 +86,30 @@ def pack_chain_weights(weights: Sequence[np.ndarray],
 
 
 def _check_chain(layers: Sequence[PackedTPLayer], p: int) -> None:
+    # real raises, not asserts: under ``python -O`` a mis-sized chain
+    # would otherwise slice 0 weight rows per chip and return silently
+    # WRONG numerics (dot == K everywhere) with consistent shapes
     for i, l in enumerate(layers):
         kw, n = l.w_packed.shape
-        assert kw == packed_words(l.k), (i, kw, l.k)
-        assert l.k % (32 * p) == 0, (
-            f"layer {i}: K={l.k} must split into {p} whole-word chunks "
-            f"(multiple of {32 * p})")
+        if kw != packed_words(l.k):
+            raise ValueError(
+                f"layer {i}: packed rows {kw} != packed_words(K={l.k})")
+        if l.k % (32 * p) != 0:
+            raise ValueError(
+                f"layer {i}: K={l.k} must split into {p} whole-word "
+                f"chunks (multiple of {32 * p})")
         if i + 1 < len(layers):
-            assert n == layers[i + 1].k, (
-                f"layer {i} out {n} != layer {i+1} K {layers[i+1].k}")
-            assert n % (32 * p) == 0, (i, n, p)
-        else:
-            assert n % p == 0, (i, n, p)
+            if n != layers[i + 1].k:
+                raise ValueError(
+                    f"layer {i} out {n} != layer {i + 1} K "
+                    f"{layers[i + 1].k}")
+            if n % (32 * p) != 0:
+                raise ValueError(
+                    f"layer {i}: out {n} must be a multiple of {32 * p} "
+                    f"to repack into {p} whole-word chunks")
+        elif n % p != 0:
+            raise ValueError(
+                f"final layer out {n} must divide over {p} chips")
 
 
 def _mismatch_chunk(xbits: jax.Array, wbits: jax.Array) -> jax.Array:
@@ -114,11 +126,20 @@ def _mismatch_chunk(xbits: jax.Array, wbits: jax.Array) -> jax.Array:
 
 def ici_bytes_per_layer(m: int, k: int, p: int) -> dict:
     """Analytic ICI bytes moved for one layer's activation transport:
-    the packed ring vs a float all-gather of the same activation."""
+    the packed ring vs a float all-gather of the same activation.
+
+    Only defined for chain-legal geometry (``k`` a multiple of
+    ``32 * p`` — the same constraint ``packed_tp_chain`` enforces);
+    flooring the per-chip word count for other inputs would fabricate
+    ICI savings."""
+    if k % (32 * p) != 0:
+        raise ValueError(
+            f"K={k} is not packed-TP-legal for p={p} (needs a multiple "
+            f"of {32 * p}; the chain itself would reject it)")
     packed = (p - 1) * m * (packed_words(k) // p) * 4  # u32 words
     f32_gather = (p - 1) * m * (k // p) * 4
     return {"packed_ring": packed, "f32_all_gather": f32_gather,
-            "ratio": f32_gather / max(packed, 1)}
+            "ratio": f32_gather / packed}
 
 
 def packed_tp_chain(layers: Sequence[PackedTPLayer], mesh: Mesh,
@@ -180,13 +201,13 @@ def packed_tp_chain(layers: Sequence[PackedTPLayer], mesh: Mesh,
                 # sign+pack THIS chip's out-shard: it IS chunk `me` of the
                 # next layer's reduction axis — no gather materializes the
                 # full activation
-                xbits_local = pack_bits(y_local, axis=-1).astype(jnp.uint32)
+                xbits_local = pack_bits(y_local, axis=-1)
             else:
                 # only the final float output is gathered
                 return lax.all_gather(y_local, axis, axis=1, tiled=True)
 
     def forward(x: jax.Array) -> jax.Array:
-        xbits = pack_bits(x, axis=-1).astype(jnp.uint32)  # (M, Kw0)
+        xbits = pack_bits(x, axis=-1)  # (M, Kw0)
         flat = [a for l in sharded for a in (l.w_packed, l.scale, l.add)]
         in_specs = tuple([P(None, axis)] + [
             spec for _ in sharded
@@ -206,13 +227,13 @@ def reference_chain(layers: Sequence[PackedTPLayer]):
     must match it BIT-exactly."""
 
     def forward(x: jax.Array) -> jax.Array:
-        xbits = pack_bits(x, axis=-1).astype(jnp.uint32)
+        xbits = pack_bits(x, axis=-1)
         for li, l in enumerate(layers):
             mism = _mismatch_chunk(xbits, l.w_packed)
             y = (l.k - 2 * mism).astype(jnp.float32) \
                 * l.scale[None, :] + l.add[None, :]
             if li + 1 < len(layers):
-                xbits = pack_bits(y, axis=-1).astype(jnp.uint32)
+                xbits = pack_bits(y, axis=-1)
             else:
                 return y
 

@@ -339,9 +339,30 @@ class TestMeshPredictor:
         from bnn_tpu.inference import Predictor
         from bnn_tpu.parallel import make_mesh
         mesh = make_mesh(data=len(jax.devices()), model=1)
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError):
             Predictor.from_model(self._build(), batch_size=6,
                                  use_pallas=False, mesh=mesh)
+
+    def test_empty_batch_is_a_loud_error(self):
+        """N=0 requests used to die with an unrelated IndexError deep in
+        the chunk loop; the shared batched_call now names the problem."""
+        from bnn_tpu.inference import Predictor
+        pred = Predictor.from_model(self._build(), batch_size=4,
+                                    use_pallas=False, dtype=jnp.float32)
+        with pytest.raises(ValueError, match="empty request batch"):
+            pred(np.zeros((0, 32, 32, 3), np.float32))
+
+    def test_tp_with_explicit_fuse_raises(self):
+        """tensor_parallel silently overriding an explicit fuse=True was
+        a benchmarking footgun — it must raise like the gemm-impl
+        conflict does."""
+        from bnn_tpu.inference import Predictor
+        from bnn_tpu.parallel import make_mesh
+        mesh = make_mesh(data=1, model=len(jax.devices()))
+        with pytest.raises(ValueError, match="incompatible with fuse"):
+            Predictor.from_model(self._build(), batch_size=8, mesh=mesh,
+                                 tensor_parallel=True, fuse=True,
+                                 use_pallas=False)
 
 
 class TestGroupedDeploy:

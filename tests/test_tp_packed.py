@@ -96,8 +96,17 @@ class TestPackedTPChain:
     def test_rejects_non_divisible_chain(self):
         mesh = make_mesh(data=1, model=8)
         layers = make_chain((96, 96))  # 96 bits < 8 whole words per chunk
-        with pytest.raises(AssertionError, match="whole-word"):
+        with pytest.raises(ValueError, match="whole-word"):
             packed_tp_chain(layers, mesh)
+
+    def test_ici_bytes_rejects_illegal_geometry(self):
+        """The analytic helper must not fabricate savings for inputs the
+        chain itself would reject (flooring words//p to 0 used to report
+        packed_ring=0 and a nonsense ratio)."""
+        from bnn_tpu.inference import ici_bytes_per_layer
+
+        with pytest.raises(ValueError, match="packed-TP-legal"):
+            ici_bytes_per_layer(m=16, k=100, p=8)
 
     def test_composes_with_identity_epilogue(self):
         mesh = make_mesh(data=1, model=8)
