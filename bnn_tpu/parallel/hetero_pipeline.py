@@ -200,6 +200,13 @@ class HeteroPipeline:
         axis, mesh = self.axis, self.mesh
         n_stages = self.n_stages
         batch = x.shape[0]
+        if tuple(x.shape[1:]) != self.io_shapes[0][0]:
+            # the flat-buffer pad/reshape below would happily accept any
+            # smaller input and reinterpret it (plus zeros) into the
+            # declared layout — finite garbage with no error
+            raise ValueError(
+                f"input sample shape {tuple(x.shape[1:])} != pipeline's "
+                f"declared x_shape {self.io_shapes[0][0]}")
         assert batch % n_microbatches == 0, (batch, n_microbatches)
         micro = batch // n_microbatches
         has_data = "data" in mesh.shape and mesh.shape["data"] > 1

@@ -23,8 +23,9 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "shard_state",
-           "shard_model", "shard_optimizer_zero1", "DEFAULT_TP_RULES"]
+__all__ = ["make_mesh", "shard_batch", "shard_host_batch", "replicate",
+           "shard_state", "shard_model", "shard_optimizer_zero1",
+           "DEFAULT_TP_RULES"]
 
 
 def make_mesh(data: Optional[int] = None, model: int = 1,
@@ -67,7 +68,6 @@ def shard_host_batch(batch, mesh: Mesh):
     global, data-axis-sharded, with every row used exactly once. On a
     single process this is identical to :func:`shard_batch`.
     """
-    import numpy as np
 
     def _shard(x):
         spec = P("data", *([None] * (np.ndim(x) - 1)))
@@ -113,27 +113,36 @@ def _path_str(path) -> str:
 def shard_state(state, mesh: Mesh, rules=DEFAULT_TP_RULES, min_size: int = 1024):
     """Apply tensor-parallel sharding rules to an nnx state pytree.
 
-    Arrays whose path matches a rule (and whose sharded axis divides evenly
-    over the ``model`` axis) get the rule's spec; everything else is
-    replicated. Shardings are NamedShardings so the same state drives
-    ``jit``'s ``in_shardings`` directly.
+    Arrays whose path matches a rule (and whose sharded axes divide
+    evenly over the mesh axes the rule's spec names) get the rule's
+    spec; everything else is replicated. Shardings are NamedShardings so
+    the same state drives ``jit``'s ``in_shardings`` directly.
     """
-    model_size = mesh.shape["model"]
+
+    def _axis_size(axis_name):
+        # a spec entry may name one mesh axis or a tuple of them
+        names = axis_name if isinstance(axis_name, tuple) else (axis_name,)
+        size = 1
+        for n in names:
+            size *= mesh.shape.get(n, 1)
+        return size
 
     def _assign(path, x):
         if not hasattr(x, "ndim"):
             return x
         name = _path_str(path)
-        if model_size > 1 and x.size >= min_size:
+        if x.size >= min_size:
             for pat, spec_fn in rules:
                 if re.search(pat, name):
                     spec = spec_fn(x.ndim)
-                    # check divisibility of each sharded axis
-                    ok = True
-                    for axis, axis_name in enumerate(spec):
-                        if axis_name is not None and \
-                                x.shape[axis] % model_size != 0:
-                            ok = False
+                    # gate + divisibility per the axes THIS spec names
+                    # (hardcoding 'model' here silently no-opped custom
+                    # rules over other axes, e.g. FSDP-style 'data')
+                    sizes = [(_axis_size(a), axis)
+                             for axis, a in enumerate(spec)
+                             if a is not None]
+                    ok = any(s > 1 for s, _ in sizes) and all(
+                        x.shape[axis] % s == 0 for s, axis in sizes)
                     if ok:
                         return jax.device_put(x, NamedSharding(mesh, spec))
                     break

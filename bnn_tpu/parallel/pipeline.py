@@ -100,6 +100,14 @@ def pipeline_apply(stage_fn: Callable, stacked_state, x: jax.Array, *,
     """
     n_stages = mesh.shape[axis]
     batch = x.shape[0]
+    n_stacked = jax.tree.leaves(stacked_state)[0].shape[0]
+    if n_stacked != n_stages:
+        # a multiple would pass shard_map's P(axis) spec with >1 rows per
+        # device, and the per-device `p[0]` below would silently DROP the
+        # extra stages — plausible-looking wrong activations, no error
+        raise ValueError(
+            f"{n_stacked} stacked stages != {n_stages}-way '{axis}' mesh "
+            f"axis (one stage per pipeline device)")
     assert batch % n_microbatches == 0, (batch, n_microbatches)
     micro = batch // n_microbatches
     has_data = "data" in mesh.shape and mesh.shape["data"] > 1

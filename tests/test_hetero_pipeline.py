@@ -80,6 +80,16 @@ class TestHeteroPipeline:
         got = pipe.apply(pipe.flat_params, x, n_microbatches=4)
         np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
 
+    def test_rejects_mismatched_input_shape(self):
+        """A smaller-than-declared input used to be silently zero-padded
+        and reinterpreted into the declared layout (finite garbage)."""
+        stages = list(_resnet_like_stages())
+        mesh = make_pipeline_mesh(pipe=4, data=2)
+        pipe = HeteroPipeline(stages, x_shape=(16, 16, 3), mesh=mesh)
+        bad = jax.random.normal(jax.random.key(1), (8, 12, 12, 3))
+        with pytest.raises(ValueError, match="declared x_shape"):
+            pipe.apply(pipe.flat_params, bad, n_microbatches=4)
+
     def test_per_device_params_are_one_stage_row(self):
         stages = list(_resnet_like_stages())
         mesh = make_pipeline_mesh(pipe=4, data=2)

@@ -67,6 +67,25 @@ class TestMesh:
             assert x.sharding.spec[-1] == "model", \
                 f"{jax.tree_util.keystr(p)} not TP-sharded: {x.sharding.spec}"
 
+    def test_shard_state_honors_non_model_rule_axes(self):
+        """Rules naming other mesh axes (FSDP-style 'data') must shard —
+        the old hardcoded model_size>1 gate silently replicated them on
+        a model=1 mesh."""
+        mesh = make_mesh(data=8, model=1)
+        model = make_model()
+        _, params, _ = nnx.split(model, nnx.Param, ...)
+        rules = ((r"\bkernel$",
+                  lambda ndim: P(*([None] * (ndim - 1) + ["data"]))),)
+        sharded = shard_state(params, mesh, rules=rules)
+        flat = jax.tree_util.tree_leaves_with_path(sharded)
+        kernels = [(p, x) for p, x in flat
+                   if "kernel" in jax.tree_util.keystr(p)
+                   and x.size >= 1024 and x.shape[-1] % 8 == 0]
+        assert kernels
+        for p, x in kernels:
+            assert x.sharding.spec[-1] == "data", \
+                f"{jax.tree_util.keystr(p)}: {x.sharding.spec}"
+
 
 class TestDataParallelTraining:
     def _train_once(self, mesh, x, y, dp):
@@ -256,6 +275,22 @@ class TestPipelineParallel:
             y_seq = s(y_seq)
         np.testing.assert_allclose(np.asarray(y_pipe), np.asarray(y_seq),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_pipeline_rejects_stage_count_mesh_mismatch(self):
+        """8 stacked stages over a 4-way pipe axis used to silently run
+        only stages 0,2,4,6 (shard_map hands each device 2 rows, the
+        body used row 0) — must be a loud error."""
+        from bnn_tpu.parallel import (
+            make_pipeline_mesh, make_stage_fn, pipeline_apply,
+            stack_stage_states,
+        )
+        stages = self._stages(8)
+        mesh = make_pipeline_mesh(pipe=4, data=2)
+        stacked = stack_stage_states(stages)
+        fn = make_stage_fn(stages[0])
+        x = jax.random.normal(jax.random.key(5), (16, 16))
+        with pytest.raises(ValueError, match="stacked stages"):
+            pipeline_apply(fn, stacked, x, mesh=mesh, n_microbatches=4)
 
     @pytest.mark.slow
     def test_pipeline_single_microbatch_and_many(self):
