@@ -41,16 +41,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .block import _ACTS, _apply_act, _conv3x3_rows
+# ONE copy of the in-kernel sign (sign(0) convention — the most delicate
+# invariant here; same rule as model.py's import)
+from .strided_block import _sign_i8
 
 __all__ = ["fused_bottleneck", "fused_bottleneck_reference"]
-
-
-def _sign_i8(v, thr, zero_to_one: bool):
-    if zero_to_one:
-        s = jnp.where(v >= thr, 1, -1)
-    else:  # torch parity: sign(0) == 0 (ternary)
-        s = jnp.where(v > thr, 1, jnp.where(v < thr, -1, 0))
-    return s.astype(jnp.int8)
 
 
 def _kernel(x_ref, top_ref, bot_ref, w1_ref, w2_ref, w3_ref, wd_ref, pc_ref,

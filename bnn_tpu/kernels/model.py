@@ -43,7 +43,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .block import _apply_act
+from .block import _ACTS, _apply_act
 from .strided_block import _sign_i8, _transform_w1
 
 __all__ = ["BlockParams", "fused_chain", "fused_pair", "fused_down_stage",
@@ -51,7 +51,6 @@ __all__ = ["BlockParams", "fused_chain", "fused_pair", "fused_down_stage",
            "fused_down_stage_reference", "fused_chain_reference",
            "fused_stem_chain_reference"]
 
-_ACTS = ("relu", "prelu", "identity")
 
 
 # ONE copy of the in-kernel sign (the most delicate invariant here —

@@ -50,7 +50,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_stem", "fused_stem_reference", "transform_stem_kernel"]
+__all__ = ["fused_stem", "fused_stem_v2", "fused_stem_v3",
+           "fused_stem_reference", "transform_stem_kernel"]
 
 _NEG = -1e30  # -inf stand-in that survives bf16/f32 casts
 

@@ -46,11 +46,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .block import _apply_act
+from .block import _ACTS, _apply_act
 
 __all__ = ["fused_downsample_block", "fused_downsample_block_reference"]
 
-_ACTS = ("relu", "prelu", "identity")
 
 
 def _transform_w1(w1: jax.Array) -> jax.Array:
