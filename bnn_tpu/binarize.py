@@ -55,9 +55,12 @@ for _v in list(DEFAULT_MODULE_MAPPING.values()):
 
 
 def _child_items(module: nnx.Module) -> Iterator[Tuple[str, nnx.Module]]:
+    # keys may be ints, not just strs: flax's nnx.List/nnx.Sequential
+    # store children under integer keys in vars()
     for key, value in vars(module).items():
-        if key.startswith("_pytree__"):
+        if isinstance(key, str) and key.startswith("_pytree__"):
             continue
+        key = str(key)
         if isinstance(value, nnx.Module):
             yield key, value
         elif isinstance(value, (list, tuple)):
@@ -68,6 +71,22 @@ def _child_items(module: nnx.Module) -> Iterator[Tuple[str, nnx.Module]]:
             for k, item in value.items():
                 if isinstance(item, nnx.Module):
                     yield f"{key}.{k}", item
+
+
+def _all_module_paths(model: nnx.Module) -> Iterator[Tuple[str, nnx.Module]]:
+    """Every (path, module) pair INCLUDING repeat visits of shared
+    modules (unlike :func:`named_modules`, which dedups by identity);
+    cycles are guarded per-path."""
+    def _walk(prefix: str, module: nnx.Module, stack: frozenset):
+        if id(module) in stack:
+            return
+        yield prefix, module
+        stack = stack | {id(module)}
+        for key, child in _child_items(module):
+            child_name = f"{prefix}.{key}" if prefix else key
+            yield from _walk(child_name, child, stack)
+
+    yield from _walk("", model, frozenset())
 
 
 def named_modules(model: nnx.Module) -> Iterator[Tuple[str, nnx.Module]]:
@@ -96,7 +115,14 @@ def _step(obj, seg: str):
         if seg in obj:
             return obj[seg]
         return obj[int(seg)]  # int-keyed dicts stringify in dotted names
-    return getattr(obj, seg)
+    try:
+        return getattr(obj, seg)
+    except AttributeError:
+        # int-keyed module containers (flax nnx.List/Sequential): their
+        # children live under int keys, not str attributes
+        if seg.isdigit() and hasattr(obj, "__getitem__"):
+            return obj[int(seg)]
+        raise
 
 
 def get_module_by_name(model: nnx.Module, name: str) -> nnx.Module:
@@ -120,6 +146,12 @@ def set_module_by_name(model: nnx.Module, name: str, new: nnx.Module) -> None:
             f"tuple — store submodules in a list instead")
     elif isinstance(parent, dict):
         parent[last if last in parent else int(last)] = new
+    elif (last.isdigit() and not hasattr(parent, last)
+          and hasattr(parent, "__setitem__")):
+        # int-keyed module containers (flax nnx.List/Sequential):
+        # setattr would create a stray STRING attribute next to the
+        # int-keyed child the forward actually uses
+        parent[int(last)] = new
     else:
         setattr(parent, last, new)
 
@@ -202,7 +234,9 @@ def get_modules_to_binarize(
         elif name in custom_config_layers_name:
             matched_custom.add(name)
             logging.warning(
-                "Module named %s defined in the configuration was not found.", name
+                "Module named %s exists but its type %s is not binarizable "
+                "(no mapping entry) — the per-layer config is not applied.",
+                name, type(module).__name__,
             )
     for name in set(custom_config_layers_name) - matched_custom:
         logging.warning(
@@ -226,8 +260,21 @@ def swap_modules_by_name(
     type filter — the replacement dict already pins exact targets."""
     if "" in modules_to_replace:
         return modules_to_replace[""]
+    # remember each replaced ORIGINAL: a module referenced from two
+    # parents (weight tying) appears in modules_to_replace only at its
+    # first path (named_modules dedups by id), and the path-addressed
+    # swap below rewrites only that parent — the tied second reference
+    # would silently keep running the float module
+    id_to_new = {}
     for name, new in modules_to_replace.items():
+        try:
+            id_to_new[id(get_module_by_name(model, name))] = new
+        except (AttributeError, KeyError, IndexError):
+            pass
         set_module_by_name(model, name, new)
+    for path, module in list(_all_module_paths(model)):  # snapshot: the
+        if path and id(module) in id_to_new:             # loop mutates
+            set_module_by_name(model, path, id_to_new[id(module)])
     return model
 
 

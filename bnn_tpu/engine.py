@@ -24,6 +24,7 @@ test/assets/test.yaml):
 """
 from __future__ import annotations
 
+import inspect
 from typing import Any, Callable, Dict, List
 
 import optax
@@ -70,8 +71,31 @@ def _build_binarizer_factory(slot: str, spec: Any, step_name: str) -> Callable:
             raise RecipeError(
                 f"{step_name}.{slot}.args: expected a mapping, got {args!r}"
             )
+        # check args against the constructor NOW — otherwise a typo'd
+        # key passes "loud validation" and dies mid-conversion as a raw
+        # TypeError once the first non-ignored layer is reached
+        try:
+            inspect.signature(cls.__init__).bind_partial(None, **args)
+        except TypeError as e:
+            raise RecipeError(
+                f"{step_name}.{slot}.args: {e} "
+                f"(binarizer {cls.__name__})") from None
         return cls.with_args(**args)
     return cls
+
+
+def _normalize_ignore_names(value: Any, step_name: str) -> List[str]:
+    """A natural YAML scalar (``ignore_layer_names: _last_``) used to be
+    exploded character-by-character by ``list()`` — silently binarizing
+    the layer the user explicitly excluded."""
+    if isinstance(value, str):
+        return [value]
+    if isinstance(value, (list, tuple)) and all(
+            isinstance(s, str) for s in value):
+        return list(value)
+    raise RecipeError(
+        f"{step_name}.ignore_layer_names: expected a name or list of "
+        f"names, got {value!r}")
 
 
 def _validate_optimizer_spec(spec: Any, step_name: str) -> Dict[str, Any]:
@@ -148,9 +172,12 @@ def _build_lr_schedule(base_lr: float, sched: Dict[str, Any], epochs: int,
         # milestones are ABSOLUTE epochs; join_schedules feeds the main
         # schedule warmup-relative steps, so shift the boundaries left by
         # the warmup (an unshifted boundary fires warmup_epochs late)
+        # >= keeps a milestone landing EXACTLY at the warmup boundary
+        # (boundary key 0: the decay is in effect from the start of the
+        # main schedule; the strict > silently dropped it entirely)
         bounds = {int(m) * steps_per_epoch - warmup_steps: gamma
                   for m in sched.get("milestones", [])
-                  if int(m) * steps_per_epoch > warmup_steps}
+                  if int(m) * steps_per_epoch >= warmup_steps}
         main = optax.piecewise_constant_schedule(base_lr, bounds)
     else:
         main = optax.constant_schedule(base_lr)
@@ -208,8 +235,18 @@ class BinaryChef:
                 _validate_optimizer_spec(step_norm["optimizer"], f"step {i}")
             if "lr_schedule" in step_norm:
                 _validate_schedule_spec(step_norm["lr_schedule"], f"step {i}")
-            if "epochs" in step_norm and int(step_norm["epochs"]) <= 0:
-                raise RecipeError(f"step {i}: epochs must be positive")
+            if "epochs" in step_norm:
+                try:
+                    ep = int(step_norm["epochs"])
+                except (TypeError, ValueError):
+                    raise RecipeError(
+                        f"step {i}: epochs must be an integer, got "
+                        f"{step_norm['epochs']!r}") from None
+                if ep <= 0:
+                    raise RecipeError(f"step {i}: epochs must be positive")
+            if "ignore_layer_names" in step_norm:
+                _normalize_ignore_names(
+                    step_norm["ignore_layer_names"], f"step {i}")
 
     def __len__(self) -> int:
         return len(self.config)
@@ -222,7 +259,8 @@ class BinaryChef:
         bnn/engine.py:51-75)."""
         assert len(self) > step, f"step {step} out of range (recipe has {len(self)})"
         step_config = _normalize_keys(self.config[step])
-        ignore_layer_names = step_config.get("ignore_layer_names", []) or []
+        ignore_layer_names = _normalize_ignore_names(
+            step_config.get("ignore_layer_names", []) or [], f"step {step}")
 
         bconfig = BConfig(
             activation_pre_process=_build_binarizer_factory(
@@ -238,8 +276,11 @@ class BinaryChef:
         )
 
     def next(self, model: nnx.Module, update: bool = False) -> nnx.Module:
+        # advance the counter only on SUCCESS — incrementing first meant
+        # a failed step was silently skipped on retry
+        out = self.run_step(model, self.current_step, update=update)
         self.current_step += 1
-        return self.run_step(model, self.current_step - 1, update=update)
+        return out
 
     # ------------------------------------------------------------------
     # Per-step training settings (TPU-native extension: the reference keeps

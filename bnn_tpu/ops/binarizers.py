@@ -12,6 +12,7 @@ the reference's dim-0/dim-1 torch conventions (bnn/ops.py:116-127) map to
 """
 from __future__ import annotations
 
+import itertools
 import math
 from functools import partial
 from typing import Optional, Sequence
@@ -102,16 +103,31 @@ class BasicInputBinarizer(BinarizerBase):
         return sign_pm1_ste(x) if self.zero_to_one else sign_ste(x)
 
 
+# Default-seed dispenser for stochastic binarizers built without explicit
+# rngs (the recipe path instantiates one per layer with no args): every
+# instance must get a DISTINCT stream — a fixed default seed would make
+# all layers draw bit-identical noise, perfectly correlating the flips
+# the stochastic binarizer exists to decorrelate. Deterministic per
+# process construction order (the reference's global-torch-RNG analogue,
+# bnn/ops.py:87-89); pass rngs= / seed= explicitly for full control.
+_STOCHASTIC_SEED = itertools.count()
+
+
 @register
 class StochasticInputBinarizer(BinarizerBase):
     """Stochastic sign binarizer (reference: bnn/ops.py:155-164).
 
     Carries its own NNX RNG stream so each call draws fresh noise while
-    remaining jit-compatible.
+    remaining jit-compatible. Without explicit ``rngs``/``seed`` each
+    instance draws from a distinct auto-assigned stream (see
+    ``_STOCHASTIC_SEED`` above).
     """
 
-    def __init__(self, rngs: Optional[nnx.Rngs] = None, seed: int = 0):
-        self.rngs = rngs if rngs is not None else nnx.Rngs(seed)
+    def __init__(self, rngs: Optional[nnx.Rngs] = None,
+                 seed: Optional[int] = None):
+        if rngs is None:
+            rngs = nnx.Rngs(next(_STOCHASTIC_SEED) if seed is None else seed)
+        self.rngs = rngs
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return stochastic_sign_ste(x, self.rngs())

@@ -8,6 +8,7 @@ swapped `_first_`/`_last_` mapping, reference bnn/binarize.py:47-50).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from flax import nnx
 
 from bnn_tpu import BConfig, nn, named_modules, prepare_binary_model
@@ -239,6 +240,48 @@ class TestContainerWalk:
         set_module_by_name(net, "blocks.1", new)
         assert net.blocks[1] is new
         assert get_module_by_name(net, "blocks.1") is new
+
+
+class TestSharedAndContainerModules:
+    def test_weight_tied_module_swaps_at_every_path(self):
+        """A module referenced from two parents must be binarized at BOTH
+        references (it used to silently stay float at the second path)."""
+        class Tied(nnx.Module):
+            def __init__(self, rngs):
+                lin = nn.Linear(4, 4, rngs=rngs)
+                self.a = lin
+                self.b = lin
+
+            def __call__(self, x):
+                return self.b(self.a(x))
+
+        t = prepare_binary_model(Tied(nnx.Rngs(0)), bconfig=BCONFIG)
+        assert isinstance(t.a, blayers.Linear)
+        assert isinstance(t.b, blayers.Linear)
+        assert t.a is t.b  # tying preserved: ONE binary module
+        t(jnp.ones((2, 4)))
+
+    def test_nnx_list_children_walk_and_swap(self):
+        """flax's nnx.List stores children under INT keys in vars() —
+        the walk used to crash on key.startswith and the swap could not
+        address the children."""
+        nnx_list = getattr(nnx, "List", None)
+        if nnx_list is None:
+            pytest.skip("this flax has no nnx.List")
+
+        class M(nnx.Module):
+            def __init__(self, rngs):
+                self.blocks = nnx_list([nn.Linear(4, 4, rngs=rngs),
+                                        nn.Linear(4, 2, rngs=rngs)])
+
+            def __call__(self, x):
+                for b in self.blocks:
+                    x = b(x)
+                return x
+
+        m = prepare_binary_model(M(nnx.Rngs(0)), bconfig=BCONFIG)
+        assert all(isinstance(b, blayers.Linear) for b in m.blocks)
+        assert m(jnp.ones((2, 4))).shape == (2, 2)
 
 
 class TestStockFlaxModel:

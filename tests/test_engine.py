@@ -133,6 +133,70 @@ class TestRecipeValidation:
         with pytest.raises(RecipeError, match="non-empty"):
             BinaryChef({})
 
+    def test_bogus_binarizer_args_rejected_at_init(self):
+        """A typo'd args key must fail LOUD at construction, not as a raw
+        TypeError mid-conversion once a non-ignored layer is reached."""
+        with pytest.raises(RecipeError, match="bogus_arg"):
+            BinaryChef({"step0": {
+                "pre_activation": {"name": "BasicInputBinarizer"},
+                "post_activation": {"name": "Identity"},
+                "weight": {"name": "XNORWeightBinarizer",
+                           "args": {"bogus_arg": 1}}}})
+
+    def test_non_integer_epochs_is_recipe_error(self):
+        with pytest.raises(RecipeError, match="epochs must be an integer"):
+            BinaryChef({"step0": {
+                "pre_activation": {"name": "Identity"},
+                "post_activation": {"name": "Identity"},
+                "weight": {"name": "Identity"},
+                "epochs": "abc"}})
+
+    def test_scalar_ignore_layer_names(self):
+        """A natural YAML scalar ('ignore_layer_names: _last_') used to
+        be exploded character-by-character by list(), silently
+        binarizing the excluded layer."""
+        chef = BinaryChef({"step0": {
+            "pre_activation": {"name": "BasicInputBinarizer"},
+            "post_activation": {"name": "Identity"},
+            "weight": {"name": "XNORWeightBinarizer"},
+            "ignore_layer_names": "_last_"}})
+        m = nn.Sequential(nn.Linear(4, 4, rngs=nnx.Rngs(0)),
+                          nn.Linear(4, 2, rngs=nnx.Rngs(1)))
+        m = chef.run_step(m, 0)
+        assert isinstance(getattr(m, "0"), blayers.Linear)
+        assert not isinstance(getattr(m, "1"), blayers.Linear)
+
+    def test_bad_ignore_layer_names_type(self):
+        with pytest.raises(RecipeError, match="ignore_layer_names"):
+            BinaryChef({"step0": {
+                "pre_activation": {"name": "Identity"},
+                "post_activation": {"name": "Identity"},
+                "weight": {"name": "Identity"},
+                "ignore_layer_names": {"a": 1}}})
+
+    def test_next_does_not_skip_failed_step(self):
+        """next() must advance the counter only on SUCCESS — otherwise a
+        failed step is silently skipped on retry."""
+        chef = BinaryChef({"step0": {
+            "pre_activation": {"name": "Identity"},
+            "post_activation": {"name": "Identity"},
+            "weight": {"name": "Identity"}}})
+        chef.run_step = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("boom"))
+        with pytest.raises(RuntimeError):
+            chef.next(object())
+        assert chef.current_step == 0
+
+    def test_multistep_milestone_at_warmup_boundary(self):
+        """A milestone landing exactly at the warmup end used to be
+        silently dropped (strict >), so the decay never fired."""
+        from bnn_tpu.engine import _build_lr_schedule
+
+        s = _build_lr_schedule(
+            1.0, {"name": "multistep", "milestones": [1], "gamma": 0.1,
+                  "warmup_epochs": 1}, epochs=5, steps_per_epoch=10)
+        assert abs(float(s(30)) - 0.1) < 1e-6, float(s(30))
+
 
 class TestShippedRecipes:
     @pytest.mark.parametrize("recipe", [
