@@ -350,8 +350,12 @@ class DeployedConv(nnx.Module):
         """Experimental fully-fused Pallas conv (stride-1 only); the XLA
         int8 conv path (`_call_conv`) is faster in practice — XLA's int8
         conv runs near the MXU int8 roofline — so this is opt-in."""
-        assert _pallas_conv_supports(self.kernel_size, self.stride,
-                                     self.padding, self.dilation, 1),             "pallas-conv mode supports stride-1 odd square kernels only"
+        if not _pallas_conv_supports(self.kernel_size, self.stride,
+                                     self.padding, self.dilation, 1):
+            raise ValueError(
+                "pallas-conv mode supports stride-1 odd square kernels only; "
+                f"got kernel_size={self.kernel_size} stride={self.stride} "
+                f"padding={self.padding} dilation={self.dilation}")
         if self.weight_format == "int8":
             w = self.w_packed[...]
         else:
@@ -494,7 +498,12 @@ def set_gemm_impl(model: nnx.Module, impl: str = "popcount"):
     patch, so the packed dot stays exact). Everything else keeps 'mxu'.
     Returns the names switched.
     """
-    assert impl in ("mxu", "popcount"), impl
+    if impl not in ("mxu", "popcount"):
+        # must raise, not assert: under ``python -O`` a typo'd impl would
+        # fall through and silently keep serving 'mxu' while reporting
+        # layers as switched
+        raise ValueError(f"unknown gemm impl {impl!r}; "
+                         "expected 'mxu' or 'popcount'")
     changed = []
     for name, m in named_modules(model):
         if impl == "mxu":

@@ -80,10 +80,17 @@ class SpaceToDepthConv(nnx.Module):
     """
 
     def __init__(self, conv: nn.Conv2d, *, max_batch: int = 8):
-        assert tuple(F._ntuple(conv.stride, 2)) == (2, 2), conv.stride
-        assert not isinstance(conv.padding, str), conv.padding
-        assert tuple(F._ntuple(conv.dilation, 2)) == (1, 1), conv.dilation
-        assert conv.groups == 1
+        # loud errors, not asserts: direct construction with an unsupported
+        # conv must not silently compute a wrong rearrangement under python -O
+        if (tuple(F._ntuple(conv.stride, 2)) != (2, 2)
+                or isinstance(conv.padding, str)
+                or tuple(F._ntuple(conv.dilation, 2)) != (1, 1)
+                or conv.groups != 1):
+            raise ValueError(
+                "SpaceToDepthConv requires stride-2, numeric padding, "
+                "dilation 1, groups 1; got "
+                f"stride={conv.stride} padding={conv.padding} "
+                f"dilation={conv.dilation} groups={conv.groups}")
         self.conv = conv
         self.max_batch = max_batch
 
@@ -162,12 +169,18 @@ class FusedStem(nnx.Module):
 
     def __init__(self, conv, *, max_batch: int = 8, interpret: bool = False):
         inner = conv.conv if isinstance(conv, SpaceToDepthConv) else conv
-        assert tuple(inner.kernel_size) == (7, 7), inner.kernel_size
-        assert tuple(F._ntuple(inner.stride, 2)) == (2, 2)
-        assert not isinstance(inner.padding, str) \
-            and tuple(F._ntuple(inner.padding, 2)) == (3, 3)
-        assert tuple(F._ntuple(inner.dilation, 2)) == (1, 1)
-        assert inner.groups == 1 and inner.in_channels <= 4
+        if not (tuple(inner.kernel_size) == (7, 7)
+                and tuple(F._ntuple(inner.stride, 2)) == (2, 2)
+                and not isinstance(inner.padding, str)
+                and tuple(F._ntuple(inner.padding, 2)) == (3, 3)
+                and tuple(F._ntuple(inner.dilation, 2)) == (1, 1)
+                and inner.groups == 1 and inner.in_channels <= 4):
+            raise ValueError(
+                "FusedStem requires a 7x7/s2/p3 conv with dilation 1, "
+                "groups 1 and <=4 input channels; got "
+                f"kernel_size={inner.kernel_size} stride={inner.stride} "
+                f"padding={inner.padding} dilation={inner.dilation} "
+                f"groups={inner.groups} in_channels={inner.in_channels}")
         self.conv = conv
         self.max_batch = max_batch
         self.interpret = interpret

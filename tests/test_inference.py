@@ -495,6 +495,18 @@ class TestPopcountServing:
         dep = deploy(layer, use_pallas=False)
         assert set_gemm_impl(dep) == []
 
+    def test_unknown_impl_raises(self):
+        # a typo'd impl must raise, not silently keep serving 'mxu' while
+        # reporting layers switched (would also slip through under python -O
+        # as an assert)
+        from bnn_tpu.inference import set_gemm_impl
+
+        layer = blayers.Linear(96, 32, bconfig=self.Z1, rngs=nnx.Rngs(0))
+        dep = deploy(layer, use_pallas=False)
+        with pytest.raises(ValueError, match="popcnt"):
+            set_gemm_impl(dep, "popcnt")
+        assert dep.gemm_impl == "mxu"
+
     def test_predictor_popcount_mode(self):
         from bnn_tpu.inference import Predictor
 

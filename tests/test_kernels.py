@@ -140,6 +140,23 @@ class TestDeployedPallasConvMode:
         dep = DeployedConv(layer, mode="pallas-conv", interpret=True)
         np.testing.assert_allclose(dep(x), expected, rtol=1e-4, atol=1e-4)
 
+    def test_unsupported_geometry_raises(self):
+        # must be a real raise, not an assert: under python -O the guard
+        # would vanish and the kernel would compute wrong strides silently
+        from flax import nnx
+        from bnn_tpu import BConfig, layers as blayers
+        from bnn_tpu.inference.deploy import DeployedConv
+        from bnn_tpu.ops import (BasicInputBinarizer, BasicScaleBinarizer,
+                                 XNORWeightBinarizer)
+        bc = BConfig(BasicInputBinarizer, BasicScaleBinarizer,
+                     XNORWeightBinarizer)
+        layer = blayers.Conv2d(32, 16, 3, stride=2, padding=1, bconfig=bc,
+                               rngs=nnx.Rngs(0))
+        dep = DeployedConv(layer, mode="pallas-conv", interpret=True)
+        x = jax.random.normal(jax.random.key(6), (2, 8, 8, 32))
+        with pytest.raises(ValueError, match="stride-1"):
+            dep(x)
+
 
 class TestPallasPopcountGemm:
     """Pallas packed-activation XNOR/popcount GEMM vs references.
