@@ -146,7 +146,11 @@ def set_pool_grad_mode(mode: str) -> str:
     always uses the 'exact' select_and_scatter gradient.
     """
     global _POOL_GRAD_MODE
-    assert mode in ("exact", "index", "all_ties"), mode
+    if mode not in ("exact", "index", "all_ties"):
+        # must raise, not assert: under ``python -O`` a typo'd mode would
+        # be stored and max_pool would silently fall through to 'exact'
+        raise ValueError(f"unknown pool grad mode {mode!r}; "
+                         "expected 'exact', 'index' or 'all_ties'")
     prev, _POOL_GRAD_MODE = _POOL_GRAD_MODE, mode
     return prev
 

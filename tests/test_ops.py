@@ -234,6 +234,14 @@ class TestPoolGradModes:
 
         return jax.grad(lambda v: (F.max_pool(v, k, s, p) * g).sum())(x)
 
+    def test_unknown_mode_raises(self):
+        # a typo'd mode must raise, not silently keep 'exact' routing
+        import bnn_tpu.functional as F
+
+        with pytest.raises(ValueError, match="allties"):
+            F.set_pool_grad_mode("allties")
+        assert F._POOL_GRAD_MODE == "exact"
+
     def test_tie_free_matches_exact(self):
         import bnn_tpu.functional as F
 
